@@ -1,0 +1,108 @@
+"""Top-level extraction entry: bytes -> ExtractResult.
+
+Mirrors the reference's ParseResult envelope (core/types.py:46-52) and its
+content-addressed id (sha3_256 of content, core/parser.py:565-572 — exact
+algorithm parity matters for fixture identity; Spark's builtin sha2 is
+SHA-2, not SHA-3, hence hashlib inside the kernel). Dispatch on the %PDF-
+magic replaces the reference's file-extension dispatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from docvision_spark.kernel import pdf_text
+from docvision_spark.kernel.charset import decode_html
+from docvision_spark.kernel.dom import segment
+from docvision_spark.kernel.markdown import Span, emit
+
+# Truncation guard: analogue of the reference's adaptive-resize work cap
+# (processing/image.py:351-366 caps pixels; we cap bytes). Oversized docs are
+# processed up to the cap and flagged, never dropped.
+MAX_DOC_BYTES = 8 * 1024 * 1024
+
+
+@dataclass
+class ExtractResult:
+    id: str = ""
+    text: str = ""
+    markdown: str = ""
+    spans: list[Span] = field(default_factory=list)
+    page_count: int = 0
+    processing_mode: str = ""     # 'html' | 'pdf'
+    charset: str = ""
+    truncated: bool = False
+    error: str | None = None
+
+
+def sha3_id(text: str) -> str:
+    """Content-addressed id — parity with reference core/parser.py:565-572."""
+    return hashlib.sha3_256(text.encode("utf-8")).hexdigest()
+
+
+def _extract_html(payload: bytes) -> ExtractResult:
+    decoded, charset = decode_html(payload)
+    blocks = segment(decoded)
+    text, markdown, spans = emit(blocks)
+    return ExtractResult(
+        id=sha3_id(text), text=text, markdown=markdown, spans=spans,
+        page_count=1, processing_mode="html", charset=charset,
+    )
+
+
+def _extract_pdf(payload: bytes) -> ExtractResult:
+    pages, page_count = pdf_text.parse_pdf(payload)
+    text_parts: list[str] = []
+    md_parts: list[str] = []
+    spans: list[Span] = []
+    pos = 0
+    bid = 0
+    for pno, blocks in enumerate(pages, start=1):
+        if not blocks:
+            continue
+        # page separator comment — format parity with the reference markdown
+        # writer (core/parser.py:536-546)
+        md_parts.append(f"<!-- page {pno} -->")
+        for b in blocks:
+            if pos:
+                pos += 2
+            text_parts.append(b.text)
+            kind = "heading" if b.kind == "heading" else "paragraph"
+            spans.append((bid, kind, pos, pos + len(b.text)))
+            pos += len(b.text)
+            bid += 1
+            md_parts.append(("#" * b.level + " " + b.text) if b.kind == "heading" else b.text)
+    text = "\n\n".join(text_parts)
+    return ExtractResult(
+        id=sha3_id(text), text=text, markdown="\n\n".join(md_parts),
+        spans=spans, page_count=page_count, processing_mode="pdf", charset="binary",
+    )
+
+
+def extract(url: str, payload: bytes | None) -> ExtractResult:
+    """Pure function of (url, payload) — no RNG, clock, or global state.
+
+    Per-doc errors are captured in-result (error column), never raised: a
+    task must not fail on one bad document at 10^12-doc scale (replaces the
+    reference's silent per-page swallow, core/parser.py:316-320, with
+    explicit failure rows per the north rule).
+    """
+    if payload is None or len(payload) == 0:
+        return ExtractResult(id=sha3_id(""), error="empty_payload")
+    truncated = False
+    if len(payload) > MAX_DOC_BYTES:
+        payload = payload[:MAX_DOC_BYTES]
+        truncated = True
+    try:
+        if payload[:5] == b"%PDF-":
+            res = _extract_pdf(payload)
+        else:
+            res = _extract_html(payload)
+        res.truncated = truncated
+        return res
+    except Exception as e:  # noqa: BLE001 — error column, not task failure
+        return ExtractResult(
+            id=sha3_id(""), truncated=truncated,
+            error=f"{type(e).__name__}: {e}"[:500],
+        )

@@ -1,0 +1,296 @@
+"""pdfminer-style PDF text extraction — deterministic stdlib-only subset.
+
+Replaces the reference's rasterize-then-OCR path (processing/image.py:62-108
+pdf_to_images + processing/ocr_engine.py recognize) with direct content-stream
+text parsing: object scan -> page tree walk -> content-stream tokenizer ->
+text-state machine (Tf/Td/TD/Tm/TL/T*/Tj/TJ/'/\") -> y-clustered lines ->
+reading-order blocks -> heading detection by font-size rank.
+
+Supported subset (the corpus synthesizer emits only this): uncompressed or
+FlateDecode content streams, literal/hex strings, the text operators above.
+y-cluster tolerance is integer-quantized so line grouping never depends on
+float rounding.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.DOTALL)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NAME_VAL_RE = {
+    b"Type": re.compile(rb"/Type\s*/(\w+)"),
+    b"Pages": re.compile(rb"/Pages\s+(\d+)\s+\d+\s+R"),
+    b"Kids": re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL),
+    b"Contents": re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R"),
+    b"Filter": re.compile(rb"/Filter\s*/(\w+)"),
+}
+
+# content-stream tokens: literal string, hex string, number, name, operator
+_CS_TOKEN_RE = re.compile(
+    rb"""
+      (?P<str>\((?:\\.|[^\\()])*\))
+    | (?P<hex><[0-9a-fA-F\s]*>)
+    | (?P<num>[+-]?\d+(?:\.\d+)?|[+-]?\.\d+)
+    | (?P<arr>[\[\]])
+    | (?P<name>/[^\s\[\]()<>/]+)
+    | (?P<op>[A-Za-z'"][A-Za-z0-9*'"]*)
+    """,
+    re.VERBOSE,
+)
+
+_ESC = {
+    ord("n"): "\n", ord("r"): "\r", ord("t"): "\t",
+    ord("b"): "\b", ord("f"): "\f",
+    ord("("): "(", ord(")"): ")", ord("\\"): "\\",
+}
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Decode a literal string body (without outer parens), WinAnsi≈latin-1."""
+    out: list[str] = []
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        if b == 0x5C and i + 1 < n:  # backslash
+            nxt = raw[i + 1]
+            if nxt in _ESC:
+                out.append(_ESC[nxt])
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:  # octal
+                j = i + 1
+                oct_digits = []
+                while j < n and len(oct_digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    oct_digits.append(raw[j] - 0x30)
+                    j += 1
+                code = 0
+                for d in oct_digits:
+                    code = code * 8 + d
+                out.append(chr(code & 0xFF))
+                i = j
+                continue
+            if nxt in (0x0A, 0x0D):  # line continuation
+                i += 2
+                if nxt == 0x0D and i < n and raw[i] == 0x0A:
+                    i += 1
+                continue
+            out.append(chr(nxt))
+            i += 2
+            continue
+        out.append(chr(b))
+        i += 1
+    return "".join(out)
+
+
+@dataclass
+class Run:
+    yq: int        # quantized baseline y (descending = top of page first)
+    x: float
+    size: float
+    text: str
+
+
+@dataclass
+class PdfBlock:
+    kind: str      # heading | paragraph
+    level: int
+    text: str
+    size: float
+
+
+def _parse_objects(payload: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(payload)}
+
+
+def _page_content_streams(payload: bytes) -> list[bytes]:
+    """Return one decoded content-stream per page, in page-tree order."""
+    objs = _parse_objects(payload)
+    pages_obj = None
+    for body in objs.values():
+        t = _NAME_VAL_RE[b"Type"].search(body)
+        if t and t.group(1) == b"Catalog":
+            pm = _NAME_VAL_RE[b"Pages"].search(body)
+            if pm:
+                pages_obj = int(pm.group(1))
+            break
+    page_ids: list[int] = []
+    if pages_obj is not None and pages_obj in objs:
+        km = _NAME_VAL_RE[b"Kids"].search(objs[pages_obj])
+        if km:
+            page_ids = [int(r.group(1)) for r in _REF_RE.finditer(km.group(1))]
+    if not page_ids:  # fallback: all /Type /Page objects in object-id order
+        page_ids = sorted(
+            oid for oid, body in objs.items()
+            if (m := _NAME_VAL_RE[b"Type"].search(body)) and m.group(1) == b"Page"
+        )
+    streams: list[bytes] = []
+    for pid in page_ids:
+        body = objs.get(pid, b"")
+        cm = _NAME_VAL_RE[b"Contents"].search(body)
+        if not cm:
+            streams.append(b"")
+            continue
+        cobj = objs.get(int(cm.group(1)), b"")
+        sm = _STREAM_RE.search(cobj)
+        data = sm.group(1) if sm else b""
+        fm = _NAME_VAL_RE[b"Filter"].search(cobj)
+        if fm and fm.group(1) == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error:
+                data = b""
+        streams.append(data)
+    return streams
+
+
+def _runs_from_stream(data: bytes) -> list[Run]:
+    """Execute the text-positioning subset of the content stream."""
+    runs: list[Run] = []
+    size = 12.0
+    leading = 14.0
+    x = y = 0.0
+    line_x = line_y = 0.0
+    stack: list[object] = []  # operand stack (numbers / strings / arrays)
+    arr: list[object] | None = None
+    for m in _CS_TOKEN_RE.finditer(data):
+        if m.group("str") is not None:
+            val: object = _decode_pdf_string(m.group("str")[1:-1])
+        elif m.group("hex") is not None:
+            hx = re.sub(rb"\s", b"", m.group("hex")[1:-1])
+            if len(hx) % 2:
+                hx += b"0"
+            val = bytes.fromhex(hx.decode("ascii")).decode("latin-1")
+        elif m.group("num") is not None:
+            val = float(m.group("num"))
+        elif m.group("arr") is not None:
+            if m.group("arr") == b"[":
+                arr = []
+            else:
+                val = arr if arr is not None else []
+                arr = None
+                stack.append(val)
+            continue
+        elif m.group("name") is not None:
+            val = m.group("name").decode("latin-1")
+        else:
+            op = m.group("op")
+            if op == b"Tf":
+                if stack and isinstance(stack[-1], float):
+                    size = stack[-1]
+                    leading = size * 1.2
+            elif op in (b"Td", b"TD"):
+                if len(stack) >= 2 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
+                    line_x += stack[-2]
+                    line_y += stack[-1]
+                    x, y = line_x, line_y
+                    if op == b"TD":
+                        leading = -stack[-1] if stack[-1] else leading
+            elif op == b"Tm":
+                if len(stack) >= 6:
+                    try:
+                        a, _b, _c, d, e, f = (float(v) for v in stack[-6:])
+                        size_scale = abs(d) if abs(d) > 0 else 1.0
+                        line_x, line_y = e, f
+                        x, y = e, f
+                        _ = a, size_scale
+                    except (TypeError, ValueError):
+                        pass
+            elif op == b"TL":
+                if stack and isinstance(stack[-1], float):
+                    leading = stack[-1]
+            elif op == b"T*":
+                line_y -= leading
+                x, y = line_x, line_y
+            elif op == b"Tj":
+                if stack and isinstance(stack[-1], str):
+                    runs.append(Run(int(round(y)), x, size, stack[-1]))
+            elif op == b"TJ":
+                if stack and isinstance(stack[-1], list):
+                    parts: list[str] = []
+                    for el in stack[-1]:
+                        if isinstance(el, str):
+                            parts.append(el)
+                        elif isinstance(el, float) and el < -150:
+                            parts.append(" ")
+                    if parts:
+                        runs.append(Run(int(round(y)), x, size, "".join(parts)))
+            elif op in (b"'", b'"'):
+                line_y -= leading
+                x, y = line_x, line_y
+                if stack and isinstance(stack[-1], str):
+                    runs.append(Run(int(round(y)), x, size, stack[-1]))
+            stack = []
+            continue
+        if arr is not None:
+            arr.append(val)
+        else:
+            stack.append(val)
+    return runs
+
+
+_Y_TOL = 2  # quantized-y units; integer comparison only
+
+
+def _runs_to_blocks(runs: list[Run]) -> list[PdfBlock]:
+    if not runs:
+        return []
+    # stable sort: top of page first (max y), then left-to-right
+    runs = sorted(runs, key=lambda r: (-r.yq, r.x))
+    # cluster into lines by quantized y
+    lines: list[tuple[int, float, list[Run]]] = []  # (yq, max_size, runs)
+    for r in runs:
+        if lines and abs(lines[-1][0] - r.yq) <= _Y_TOL:
+            yq, sz, rs = lines[-1]
+            rs.append(r)
+            lines[-1] = (yq, max(sz, r.size), rs)
+        else:
+            lines.append((r.yq, r.size, [r]))
+    # line gap statistics -> block splits
+    sizes = sorted(ln[1] for ln in lines)
+    median_size = sizes[len(sizes) // 2]
+    blocks: list[PdfBlock] = []
+    cur_lines: list[str] = []
+    cur_size = lines[0][1]
+    prev_y = lines[0][0]
+
+    def flush() -> None:
+        nonlocal cur_lines
+        txt = " ".join(" ".join(t.split()) for t in cur_lines if t.strip())
+        if txt:
+            # heading iff font size clearly above page median (rational compare)
+            if cur_size * 10 >= median_size * 12:
+                # level by size rank: biggest=1
+                bigger = len({s for s in sizes if s > cur_size})
+                blocks.append(PdfBlock("heading", min(bigger + 1, 3), txt, cur_size))
+            else:
+                blocks.append(PdfBlock("paragraph", 0, txt, cur_size))
+        cur_lines = []
+
+    for yq, sz, rs in lines:
+        line_txt = " ".join(r.text for r in sorted(rs, key=lambda r: r.x))
+        gap = prev_y - yq
+        new_block = (
+            cur_lines
+            and (gap > int(cur_size * 18) // 10 + int(cur_size)  # > ~1.8 lines
+                 or (sz != cur_size))
+        )
+        if new_block:
+            flush()
+            cur_size = sz
+        elif not cur_lines:
+            cur_size = sz
+        cur_lines.append(line_txt)
+        prev_y = yq
+    flush()
+    return blocks
+
+
+def parse_pdf(payload: bytes) -> tuple[list[list[PdfBlock]], int]:
+    """Parse PDF bytes -> (per-page block lists, page_count)."""
+    streams = _page_content_streams(payload)
+    pages = [_runs_to_blocks(_runs_from_stream(s)) for s in streams]
+    return pages, len(streams)

@@ -1,0 +1,204 @@
+"""The extraction job: the Spark re-architecture of the reference's
+parse_pdf/parse_image loop (core/parser.py:225-329) as a single map-only
+distributed stage.
+
+Physical plan (SURVEY.md §4.3):
+
+    scan pages (parquet, pruned: url, html, lang [, bucket])
+      -> left_anti join committed urls            [resume]
+      -> withColumn host/salt, repartition        [skew: hot host ~30%]
+      -> sortWithinPartitions(octet_length desc)  [size-aware packing]
+      -> mapInPandas(extract_batches)             [the only Python stage]
+      -> write output parquet (bucketed)
+      -> metrics + failure samples from the written output (column-pruned)
+
+No per-row Python dispatch: the kernel runs over Arrow record batches via
+mapInPandas (Iterator variant — one worker init per partition), and the
+batch iterator is re-chunked by cumulative payload bytes so a partition of
+200 KB docs and a partition of 2 KB docs both hand the kernel ~equal-byte
+units (the analogue of the reference's bounded concurrency + size caps,
+core/parser.py:289, processing/image.py:351-366).
+"""
+
+from __future__ import annotations
+
+import time
+from binascii import crc32
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DoubleType, IntegerType, LongType,
+    StringType, StructField, StructType,
+)
+
+from docvision_spark import EXTRACTOR_VERSION
+
+SPAN_TYPE = ArrayType(StructType([
+    StructField("block_id", IntegerType()),
+    StructField("kind", StringType()),
+    StructField("start", IntegerType()),
+    StructField("end", IntegerType()),
+]))
+
+OUTPUT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("id", StringType()),
+    StructField("text", StringType()),
+    StructField("markdown", StringType()),
+    StructField("spans", SPAN_TYPE),
+    StructField("page_count", IntegerType()),
+    StructField("lang", StringType()),
+    StructField("processing_mode", StringType()),
+    StructField("charset", StringType()),
+    StructField("truncated", BooleanType()),
+    StructField("extractor_version", StringType()),
+    StructField("processing_time", DoubleType()),
+    StructField("bytes_in", LongType()),
+    StructField("partition_id", IntegerType()),
+    StructField("error", StringType()),
+])
+
+# Target payload bytes per kernel invocation unit (Arrow batch re-chunk).
+TARGET_BATCH_BYTES = 8 * 1024 * 1024
+# Salt fan-out for skewed hosts.
+N_SALT = 8
+N_BUCKETS = 16
+
+
+def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body. Imports inside so the function ships cleanly to
+    executors via --py-files; kernel module state (compiled regexes, entity
+    table) is the executor-side singleton (reference analogue: lazy OCR
+    engine singleton, core/parser.py:125-138)."""
+    from pyspark import TaskContext
+
+    from docvision_spark.kernel.extract import extract
+
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+
+    def flush(rows: list[dict]) -> pd.DataFrame:
+        return pd.DataFrame(rows, columns=[f.name for f in OUTPUT_SCHEMA.fields])
+
+    rows: list[dict] = []
+    acc_bytes = 0
+    for pdf in it:
+        urls = pdf["url"].to_numpy()
+        htmls = pdf["html"].to_numpy()
+        langs = pdf["lang"].to_numpy()
+        for i in range(len(pdf)):
+            payload = htmls[i]
+            nbytes = len(payload) if payload is not None else 0
+            t0 = time.perf_counter()
+            r = extract(urls[i], payload)
+            dt = time.perf_counter() - t0
+            rows.append({
+                "url": urls[i],
+                "id": r.id,
+                "text": r.text,
+                "markdown": r.markdown,
+                "spans": [
+                    {"block_id": b, "kind": k, "start": s, "end": e}
+                    for (b, k, s, e) in r.spans
+                ],
+                "page_count": r.page_count,
+                "lang": langs[i],
+                "processing_mode": r.processing_mode,
+                "charset": r.charset,
+                "truncated": r.truncated,
+                "extractor_version": EXTRACTOR_VERSION,
+                "processing_time": dt,
+                "bytes_in": nbytes,
+                "partition_id": pid,
+                "error": r.error,
+            })
+            acc_bytes += nbytes
+            if acc_bytes >= TARGET_BATCH_BYTES:
+                yield flush(rows)
+                rows, acc_bytes = [], 0
+    if rows:
+        yield flush(rows)
+
+
+def read_pages(spark: SparkSession, pages_path: str) -> DataFrame:
+    """Scan with explicit column pruning — never materialize `text` (the
+    naive pre-extraction column) or any column the kernel doesn't need."""
+    return spark.read.parquet(pages_path).select("url", "html", "lang")
+
+
+def extract_pages(pages: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Logical plan for the kernel stage over a (url, html, lang) frame."""
+    spark = pages.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    prepared = (
+        pages
+        # skew: spread the hot host across N_SALT partitions while keeping
+        # host locality for everyone else (north rule: salted repartition of
+        # skewed hosts; AQE cannot rebalance a map-only python stage by value)
+        .withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        .withColumn("salt", F.pmod(F.crc32(F.col("url")), F.lit(N_SALT)))
+        .repartition(partitions, F.col("host"), F.col("salt"))
+        # packing: descending size within partition -> the byte-budget
+        # re-chunker in _extract_batches sees big docs first and emits
+        # near-constant-byte units; also avoids a giant doc landing at the
+        # tail of an otherwise-finished partition
+        .sortWithinPartitions(F.octet_length("html").desc())
+        .drop("host", "salt")
+    )
+    return prepared.mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)
+
+
+def run_extract_job(
+    spark: SparkSession,
+    pages_path: str,
+    out_dir: str,
+    partitions: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Full job with snapshot commit + lineage (build plan M2+M3).
+
+    Returns a summary dict {snapshot_id, docs, failures, wall_s}.
+    """
+    import os
+
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.lineage import write_metrics
+
+    t0 = time.perf_counter()
+    pages = read_pages(spark, pages_path)
+
+    committed = snapshots.committed_urls(spark, out_dir)
+    if resume and committed is not None:
+        # resume: anti-join against already-committed urls (Iceberg-snapshot
+        # emulation; the committed scan is column-pruned to `url` only). At
+        # 10^12 scale this is a shuffle join on url; AQE downgrades it to a
+        # broadcast join automatically when the committed set is small.
+        pages = pages.join(committed, "url", "left_anti")
+
+    out = extract_pages(pages, partitions)
+    out = out.withColumn("bucket", F.pmod(F.crc32(F.col("url")), F.lit(N_BUCKETS)))
+
+    data_dir = os.path.join(out_dir, "data")
+    staging = snapshots.new_staging(out_dir)
+    (out.write.mode("append")
+        .partitionBy("bucket")
+        .parquet(staging))
+
+    if not snapshots._collect_files(staging):
+        # resumed run with nothing left to do: no new snapshot
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"snapshot_id": None, "docs": 0, "failures": 0,
+                "wall_s": time.perf_counter() - t0}
+
+    written = spark.read.parquet(staging)
+    n_docs = written.count()
+    n_fail = written.filter(F.col("error").isNotNull()).count()
+    snap = snapshots.commit(out_dir, staging, data_dir, n_docs)
+    wall = time.perf_counter() - t0
+    write_metrics(spark, out_dir, snap, pages_path, wall)
+    return {"snapshot_id": snap, "docs": n_docs, "failures": n_fail, "wall_s": wall}

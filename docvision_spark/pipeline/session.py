@@ -1,0 +1,48 @@
+"""SparkSession factory with the engine's scale-tuned defaults.
+
+All Arrow/adaptive settings in one place so tests, bench, and jobs run the
+same physical configuration. On a real cluster these come from spark-submit
+conf; the builder here only sets what local mode needs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "docvision-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    max_records_per_batch: int = 256,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create/get a local SparkSession.
+
+    max_records_per_batch bounds Arrow batch row count; combined with the
+    size-aware packing stage (extract_job.py) it bounds batch *bytes*, which
+    is what actually matters for Python-worker memory at 100 TB.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * cores, 32)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch))
+        .config("spark.sql.files.maxPartitionBytes", "64m")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

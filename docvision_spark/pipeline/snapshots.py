@@ -1,0 +1,105 @@
+"""Iceberg-snapshot emulation over parquet + a manifest JSON.
+
+No Iceberg runtime jar exists in this sandbox (checked: /opt/spark/jars), so
+snapshot semantics are emulated with the same guarantees the pipeline needs:
+ - atomic commit: data files land in a staging dir, are moved into data/,
+   and become visible only when the manifest is atomically replaced
+   (os.replace) pointing at the new snapshot
+ - resume: committed_urls() lists only files recorded in the manifest, so a
+   crashed run's partial staging output is invisible to the resume anti-join
+ - lineage: each snapshot records parent id, file list, and row count
+
+On a real cluster this module is replaced by `df.writeTo(tbl).append()` on
+an Iceberg catalog; run_extract_job's logic is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_manifest.json"
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST)
+
+
+def read_manifest(table_dir: str) -> dict | None:
+    p = _manifest_path(table_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def new_staging(table_dir: str) -> str:
+    staging = os.path.join(table_dir, f"_staging-{uuid.uuid4().hex[:12]}")
+    os.makedirs(staging, exist_ok=True)
+    return staging
+
+
+def _collect_files(root: str) -> list[str]:
+    out = []
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dirpath, fn), root))
+    return sorted(out)
+
+
+def commit(table_dir: str, staging: str, data_dir: str, row_count: int) -> str:
+    """Move staged files into data/ and atomically publish a new snapshot."""
+    prev = read_manifest(table_dir)
+    snapshot_id = uuid.uuid4().hex[:16]
+    moved: list[str] = []
+    for rel in _collect_files(staging):
+        # keep partition subdirs (bucket=N/...) and avoid name collisions by
+        # prefixing the snapshot id
+        d, fn = os.path.split(rel)
+        dst_rel = os.path.join(d, f"{snapshot_id}-{fn}")
+        dst = os.path.join(data_dir, dst_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(os.path.join(staging, rel), dst)
+        moved.append(dst_rel)
+    shutil.rmtree(staging, ignore_errors=True)
+
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_id": prev["snapshot_id"] if prev else None,
+        "sequence": (prev["sequence"] + 1) if prev else 0,
+        "committed_at": time.time(),
+        "row_count_delta": row_count,
+        "files": (prev["files"] if prev else []) + moved,
+    }
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic publish
+    return snapshot_id
+
+
+def committed_urls(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    """DataFrame of urls in the current snapshot (column-pruned scan), or
+    None when the table has no committed snapshot yet."""
+    m = read_manifest(table_dir)
+    if not m or not m["files"]:
+        return None
+    data_dir = os.path.join(table_dir, "data")
+    paths = [os.path.join(data_dir, rel) for rel in m["files"]]
+    return spark.read.option("basePath", data_dir).parquet(*paths).select("url")
+
+
+def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
+    m = read_manifest(table_dir)
+    if not m or not m["files"]:
+        return None
+    data_dir = os.path.join(table_dir, "data")
+    return spark.read.option("basePath", data_dir).parquet(
+        *[os.path.join(data_dir, rel) for rel in m["files"]]
+    )

@@ -1,0 +1,43 @@
+"""spark-submit entry for the extraction pipeline.
+
+Usage:
+    spark-submit --py-files dist/docvision_spark.zip jobs/extract.py \
+        --input /path/to/pages --output /path/to/out \
+        [--partitions N] [--no-resume] [--cores N]
+
+On a cluster, drop --cores and set master/executors via spark-submit conf.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="docvision-spark extraction job")
+    ap.add_argument("--input", required=True, help="pages parquet dir")
+    ap.add_argument("--output", required=True, help="output table dir")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--cores", type=int, default=None, help="local[N] cores")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from docvision_spark.pipeline.extract_job import run_extract_job
+    from docvision_spark.pipeline.session import get_spark
+
+    spark = get_spark(app_name="docvision-extract", cores=args.cores)
+    summary = run_extract_job(
+        spark, args.input, args.output,
+        partitions=args.partitions, resume=not args.no_resume,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

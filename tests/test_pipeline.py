@@ -1,0 +1,109 @@
+"""Distributed pipeline tests: e2e job, parallelism invariance, resume,
+lineage (SURVEY.md §5.2.3-5).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.mark.spark
+def test_extract_job_end_to_end(spark, pages_dir, tmp_path):
+    from docvision_spark.pipeline.extract_job import run_extract_job
+    from docvision_spark.pipeline import snapshots
+
+    out_dir = str(tmp_path / "out")
+    summary = run_extract_job(spark, pages_dir, out_dir, partitions=8)
+    assert summary["docs"] == 300
+    assert summary["failures"] == 0
+
+    table = snapshots.read_table(spark, out_dir)
+    assert table.count() == 300
+    # schema essentials
+    for c in ("url", "id", "text", "markdown", "spans", "page_count",
+              "processing_mode", "error", "bucket"):
+        assert c in table.columns
+    # every ok row has non-empty extraction and valid span offsets
+    bad_spans = table.filter(
+        (F.col("error").isNull())
+        & F.exists("spans", lambda s: (s["start"] < 0) | (s["end"] > F.length("text")))
+    ).count()
+    assert bad_spans == 0
+    # pdf docs present (~10%)
+    n_pdf = table.filter(F.col("processing_mode") == "pdf").count()
+    assert 10 <= n_pdf <= 80
+
+    # metrics/lineage rows were written with the north-rule fields
+    metrics = spark.read.parquet(os.path.join(out_dir, "metrics"))
+    assert metrics.count() >= 1
+    for c in ("snapshot_id", "partition_id", "input_split", "doc_count",
+              "bytes_in", "bytes_out", "n_failures", "failure_samples",
+              "extractor_version", "wall_time_s", "committed_at"):
+        assert c in metrics.columns
+    agg = metrics.agg(F.sum("doc_count").alias("d")).collect()[0]
+    assert agg["d"] == 300
+
+
+@pytest.mark.spark
+def test_parallelism_invariance(spark, pages_dir):
+    """Same input at 2 vs 8 partitions -> identical id per url (the
+    determinism half of the two-cluster-size scaling rule)."""
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+
+    pages = read_pages(spark, pages_dir)
+    a = {r["url"]: r["id"] for r in
+         extract_pages(pages, partitions=2).select("url", "id").collect()}
+    b = {r["url"]: r["id"] for r in
+         extract_pages(pages, partitions=8).select("url", "id").collect()}
+    assert a == b
+
+
+@pytest.mark.spark
+def test_resume_no_duplicates(spark, pages_dir, tmp_path):
+    """Kill-and-rerun semantics: first run commits half the input; second run
+    must process only the remainder — no duplicate urls, full coverage."""
+    from docvision_spark.corpus import gen_urls
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.extract_job import read_pages, run_extract_job
+
+    out_dir = str(tmp_path / "out_resume")
+    half = set(gen_urls(300)[:150])
+    pages = read_pages(spark, pages_dir)
+
+    # simulate a partial first run: restrict input to half the urls
+    half_df = spark.createDataFrame([(u,) for u in half], "url string")
+    half_path = str(tmp_path / "half_pages")
+    pages.join(F.broadcast(half_df), "url", "left_semi").write.parquet(half_path)
+    s1 = run_extract_job(spark, half_path, out_dir, partitions=4)
+    assert s1["docs"] == 150
+
+    # resumed full run: anti-join must skip the committed 150
+    s2 = run_extract_job(spark, pages_dir, out_dir, partitions=4)
+    assert s2["docs"] == 150, "resume must process only the uncommitted half"
+
+    table = snapshots.read_table(spark, out_dir)
+    assert table.count() == 300
+    assert table.select("url").distinct().count() == 300
+
+    # third run: nothing left to do
+    s3 = run_extract_job(spark, pages_dir, out_dir, partitions=4)
+    assert s3["docs"] == 0
+
+
+@pytest.mark.spark
+def test_crashed_staging_invisible(spark, pages_dir, tmp_path):
+    """A staging dir from a crashed run must not pollute the committed view."""
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.extract_job import run_extract_job
+
+    out_dir = str(tmp_path / "out_crash")
+    run_extract_job(spark, pages_dir, out_dir, partitions=4)
+    # fake a crashed writer: stray staging dir with garbage parquet
+    stray = snapshots.new_staging(out_dir)
+    spark.range(5).withColumn("url", F.lit("x")).write.parquet(
+        os.path.join(stray, "bucket=0"), mode="overwrite")
+    table = snapshots.read_table(spark, out_dir)
+    assert table.count() == 300  # staging rows invisible
