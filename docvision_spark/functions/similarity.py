@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (array<float>).
+
+ - brute-force cosine top-k: the exact baseline. Expression-only dot/norm
+   via zip_with + aggregate (JVM, codegen) — no Python. At 100 TB this is a
+   single scan + a k-row top-k (TakeOrderedAndProject), no shuffle of the
+   full table.
+ - LSH-bucketed ANN: random-hyperplane signatures (deterministic planes
+   derived from xxhash64 of (plane, dim)) -> candidates share a signature
+   prefix bucket -> exact re-rank within buckets. The scale path: the
+   bucket join replaces the full scan per query with a partition-pruned
+   lookup when bucketed at write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine vs a literal query vector. Deterministic order:
+    score desc, id asc."""
+    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    v = F.col(vec_col).cast("array<double>")
+    scored = emb.select(
+        F.col(id_col),
+        cosine(v, q).alias("score"),
+    )
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+              .limit(k)
+    )
+
+
+# ------------------------------------------------------------------- LSH --
+
+def hyperplane_signature(vec_col: Column, n_planes: int = 16, dim: int = 64) -> Column:
+    """Sign-bit signature: bit p = 1 iff sum_d vec[d]*plane(p,d) > 0, where
+    plane(p,d) = +1 if xxhash64(p, d) is even else -1. Expression-only."""
+    v = vec_col.cast("array<double>")
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[
+                    F.when(F.xxhash64(F.lit(p), F.lit(d)).bitwiseAND(F.lit(1)) == 0,
+                           F.lit(1.0)).otherwise(F.lit(-1.0))
+                    for d in range(dim)
+                ]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 12, max_probe_hamming: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k: score only vectors whose hyperplane signature is within
+    max_probe_hamming bits of the query's signature (multi-probe LSH).
+
+    At bench scale this scans the signature column (8 bytes/row) and computes
+    the exact cosine for ~(sum_{i<=h} C(n_planes,i))/2^n_planes of the table.
+    """
+    dim = len(query_vec)
+    sig_col = hyperplane_signature(F.col(vec_col), n_planes, dim)
+    signed = emb.withColumn("_sig", sig_col)
+
+    qdf = emb.sparkSession.createDataFrame([(query_vec,)], f"qv array<double>")
+    qsig_row = qdf.select(hyperplane_signature(F.col("qv"), n_planes, dim).alias("s")).collect()
+    qsig = qsig_row[0]["s"]
+
+    cand = signed.filter(
+        F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig).cast("long"))) <= max_probe_hamming
+    )
+    if exclude_id is not None:
+        cand = cand.filter(F.col(id_col) != exclude_id)
+    q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
+    return (
+        cand.select(F.col(id_col), cosine(F.col(vec_col).cast("array<double>"), q).alias("score"))
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+    )
+
+
+def knn_join_sample(
+    emb: DataFrame, n_queries: int = 20, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact kNN for the first n_queries ids (deterministic sample): broadcast
+    the small query side against the full table — the broadcast-join shape
+    that survives a 1000-executor scale-up."""
+    queries = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec"))
+    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    from pyspark.sql.window import Window
+    scored = (
+        base.crossJoin(F.broadcast(queries))
+            .filter(F.col(id_col) != F.col("q_id"))
+            .withColumn("score", cosine(F.col("v"), F.col("q_vec")))
+            .withColumn("rank", F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())))
+            .filter(F.col("rank") <= k)
+            .select("q_id", F.col(id_col).alias("nn_id"), "rank",
+                    F.round("score", 4).alias("score"))
+    )
+    return scored

@@ -1,0 +1,118 @@
+"""Text-analysis operators over a documents table — 100% built-in
+pyspark.sql.functions (JVM-side, whole-stage codegen; no Python in the hot
+path). Each has an exact ANSI-SQL twin in __spark_entry__.oracle_sql().
+
+Capability ancestors in the reference: metadata projection
+(core/parser.py:184-190) and the empty-content filter (core/parser.py:358-359);
+the quality/language features extend them to training-data curation needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small fixed per-language stopword lists (must stay in sync with the SQL
+# oracles in __spark_entry__.py — the lists are the spec).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "was", "for", "with", "on"),
+    "id": ("dan", "yang", "di", "ke", "dari", "untuk", "dengan", "pada", "adalah", "ini"),
+    "es": ("el", "la", "los", "las", "de", "en", "es", "por", "con", "para"),
+    "de": ("der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "im"),
+    "fr": ("le", "les", "des", "du", "et", "est", "une", "dans", "qui", "pour"),
+}
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; empty string -> empty array (not [''])."""
+    return F.when(F.length(F.trim(col)) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.split(F.trim(col), r"\s+"))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_hits(col: Column, lang: str) -> Column:
+    """Count of tokens (lowercased) that are in lang's stopword list."""
+    words = LANG_STOPWORDS[lang]
+    return F.size(F.filter(tokens(F.lower(col)), lambda t: t.isin(*words)))
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    toks = token_count(c)
+    return (
+        df.withColumn("n_tokens", toks)
+          .withColumn("n_chars_txt", F.length(c))
+          .withColumn(
+              "avg_token_len",
+              F.round(
+                  F.when(toks > 0,
+                         F.length(F.regexp_replace(c, r"\s+", "")) / toks)
+                  .otherwise(F.lit(0.0)), 4))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword quality features + a composite score.
+
+    Score is a fixed integer rubric (0-100) so cross-engine float drift can't
+    change it: +40 length in [200, 20000]; +20 avg token len in [3, 12];
+    +20 punct ratio in (0, 8] per 100 chars; +20 stopword ratio >= 10%.
+    """
+    c = F.col(text_col)
+    toks = token_count(c)
+    n_chars = F.length(c)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    all_stop = None
+    for lang in sorted(LANG_STOPWORDS):
+        h = stopword_hits(c, lang)
+        all_stop = h if all_stop is None else all_stop + h
+    df = (
+        df.withColumn("n_tokens", toks)
+          .withColumn("n_chars_txt", n_chars)
+          .withColumn("n_punct", punct)
+          .withColumn("n_stopwords", all_stop)
+    )
+    score = (
+        F.when((F.col("n_chars_txt") >= 200) & (F.col("n_chars_txt") <= 20000), 40).otherwise(0)
+        + F.when(
+            (F.col("n_tokens") > 0)
+            & (F.col("n_chars_txt") - F.col("n_tokens") + 1 >= 3 * F.col("n_tokens"))
+            & (F.col("n_chars_txt") <= 13 * F.col("n_tokens")), 20).otherwise(0)
+        + F.when((F.col("n_punct") > 0) & (F.col("n_punct") * 100 <= F.col("n_chars_txt") * 8), 20).otherwise(0)
+        + F.when(F.col("n_stopwords") * 10 >= F.col("n_tokens"), 20).otherwise(0)
+    )
+    return df.withColumn("quality_score", score)
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram-free language ID: argmax of per-language stopword hits, ties
+    broken by language code ascending (deterministic)."""
+    c = F.col(text_col)
+    langs = sorted(LANG_STOPWORDS)
+    for lang in langs:
+        df = df.withColumn(f"hits_{lang}", stopword_hits(c, lang))
+    best = F.lit(langs[0])
+    best_hits = F.col(f"hits_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"hits_{lang}") > best_hits
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+    return (
+        df.withColumn("lang_pred", F.when(best_hits > 0, best).otherwise(F.lit("und")))
+          .withColumn("lang_conf_hits", best_hits)
+    )
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for fingerprinting/dedup: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Exact-dup fingerprint: md5 of normalized text (md5 exists in both
+    Spark and DuckDB with identical output — crc32 does not)."""
+    return F.md5(normalized(col))

@@ -131,7 +131,10 @@ def read_pages(spark: SparkSession, pages_path: str) -> DataFrame:
 
 def extract_pages(pages: DataFrame, partitions: int | None = None) -> DataFrame:
     """Logical plan for the kernel stage over a (url, html, lang) frame."""
+    from docvision_spark.pipeline.shipping import ensure_py_files
+
     spark = pages.sparkSession
+    ensure_py_files(spark)
     if partitions is None:
         partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
     prepared = (

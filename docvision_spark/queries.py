@@ -1,0 +1,467 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY.md
+§2.2 + training-data ops), each with a DuckDB oracle twin where ANSI-SQL can
+express it. Column names/aliases are kept identical between the Spark plan
+and the oracle SQL — the driver hashes values after sorting columns by name.
+
+Float discipline: every emitted float is rounded to a fixed precision in
+BOTH engines; timestamps are emitted as formatted strings; rankings emit
+integer ranks so cross-engine float drift cannot flip a hash.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from docvision_spark.functions import dedup, similarity, text
+from docvision_spark.functions.fingerprint import winnow_fingerprints
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# pages-corpus size per sf tier (deterministic, synthesized on demand)
+_PAGES_N = {"sf0.001": 300, "sf0.01": 1500, "sf0.1": 20000}
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def pages_for(sf_dir: str) -> str:
+    from docvision_spark.corpus import ensure_corpus
+
+    tier = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
+    n = _PAGES_N.get(tier, 300)
+    return ensure_corpus(os.path.join(REPO, "data", f"pages_{tier}"), n)
+
+
+# ===========================================================================
+# relational glue (reference A1/T2 ordering + standard OLAP surface)
+# ===========================================================================
+
+def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-side filter + hash agg (map-side partials)."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+              F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+              F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+              F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+              F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+              F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+              F.count("*").alias("count_order"),
+          )
+    )
+
+
+def q02_top_customers(spark: SparkSession, sf: str) -> DataFrame:
+    """Join + agg + deterministic top-N. customer is small -> broadcast."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .groupBy("c_custkey", "c_name")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+              F.count("*").alias("n_orders"))
+         .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+         .limit(10)
+    )
+
+
+def q03_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """3-way dim join (all broadcastable) + rollup aggregate."""
+    c = load(spark, sf, "customer")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .groupBy("r_name")
+         .agg(F.count("*").alias("n_customers"),
+              F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+    )
+
+
+def q04_running_value(spark: SparkSession, sf: str) -> DataFrame:
+    """Window function: per-user running sum over event time."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def q05_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session; count per user."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q06_event_type_daily(spark: SparkSession, sf: str) -> DataFrame:
+    e = load(spark, sf, "events")
+    return (
+        e.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "event_type")
+         .agg(F.count("*").alias("n"),
+              F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+def q07_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return (
+        o.filter(F.col("o_orderdate") >= F.lit("1994-01-01"))
+         .groupBy("o_orderstatus", "o_orderpriority")
+         .agg(F.count("*").alias("n"),
+              F.round(F.avg("o_totalprice"), 4).alias("avg_price"))
+    )
+
+
+def q08_brand_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact-to-dim join with broadcast + agg; supplier adds a 2nd dim."""
+    li = load(spark, sf, "lineitem")
+    p = load(spark, sf, "part")
+    s = load(spark, sf, "supplier")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+          .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+          .groupBy("p_brand")
+          .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+               F.countDistinct("s_suppkey").alias("n_suppliers"))
+    )
+
+
+# ===========================================================================
+# text analysis over documents
+# ===========================================================================
+
+def t01_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.with_token_stats(d).select(
+        "doc_id", "n_tokens", "n_chars_txt", "avg_token_len")
+
+
+def t02_quality(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.with_quality(d).select(
+        "doc_id", "n_tokens", "n_punct", "n_stopwords", "quality_score")
+
+
+def t03_langid(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return text.with_lang_id(d).select("doc_id", "lang_pred", "lang_conf_hits")
+
+
+def t04_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return d.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp"))
+
+
+def t05_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.exact_dedup(d).select("fp", "doc_id", "n_copies")
+
+
+# ===========================================================================
+# near-dup detection (Spark-only physical strategies; no SQL twin)
+# ===========================================================================
+
+def d01_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8)
+
+
+def d02_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.simhash_pairs(d, max_hamming=3)
+
+
+def d03_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5)
+
+
+def d04_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    d = load(spark, sf, "documents")
+    return winnow_fingerprints(d).select("doc_id", "n_grams",
+                                         F.size("fingerprints").alias("n_fp"))
+
+
+# ===========================================================================
+# similarity search over embeddings
+# ===========================================================================
+
+def _query_vec(spark: SparkSession, sf: str, vec_id: int = 0) -> list[float]:
+    row = (load(spark, sf, "embeddings")
+           .filter(F.col("vec_id") == vec_id).select("embedding").collect())
+    return [float(x) for x in row[0]["embedding"]]
+
+
+def s01_topk_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force exact top-10 by cosine vs vec_id=0. Emits integer ranks
+    (float drift cannot flip the hash; score parity is pytest-checked)."""
+    emb = load(spark, sf, "embeddings")
+    q = _query_vec(spark, sf, 0)
+    top = similarity.brute_force_topk(emb, q, k=10, exclude_id=0)
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select("rank", "vec_id")
+
+
+def s02_knn_sample(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return similarity.knn_join_sample(emb, n_queries=10, k=5) \
+                     .select("q_id", "rank", "nn_id")
+
+
+def s03_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN variant (hyperplane LSH multi-probe) — Spark-only bucketing."""
+    emb = load(spark, sf, "embeddings")
+    q = _query_vec(spark, sf, 0)
+    return similarity.lsh_topk(emb, q, k=10, exclude_id=0) \
+                     .select("vec_id", F.round("score", 4).alias("score"))
+
+
+# ===========================================================================
+# extraction pipeline (the flagship; oracle is the golden-fixture gate)
+# ===========================================================================
+
+def x01_extract(spark: SparkSession, sf: str) -> DataFrame:
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+
+    pages = read_pages(spark, pages_for(sf))
+    out = extract_pages(pages)
+    return out.select("url", "id", "page_count", "processing_mode",
+                      F.length("text").alias("n_chars"))
+
+
+def x02_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+
+    out = extract_pages(read_pages(spark, pages_for(sf)))
+    return (
+        out.groupBy("processing_mode", "lang")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+                F.sum("page_count").alias("n_pages"))
+    )
+
+
+# ===========================================================================
+# registry + oracles
+# ===========================================================================
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "q01_pricing_summary": q01_pricing_summary,
+        "q02_top_customers": q02_top_customers,
+        "q03_region_rollup": q03_region_rollup,
+        "q04_running_value": q04_running_value,
+        "q05_sessionize": q05_sessionize,
+        "q06_event_type_daily": q06_event_type_daily,
+        "q07_order_priority": q07_order_priority,
+        "q08_brand_volume": q08_brand_volume,
+        "t01_token_stats": t01_token_stats,
+        "t02_quality": t02_quality,
+        "t03_langid": t03_langid,
+        "t04_fingerprint": t04_fingerprint,
+        "t05_exact_dedup": t05_exact_dedup,
+        "d01_minhash_pairs": d01_minhash_pairs,
+        "d02_simhash_pairs": d02_simhash_pairs,
+        "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
+        "d04_winnow_fingerprints": d04_winnow_fingerprints,
+        "s01_topk_cosine": s01_topk_cosine,
+        "s02_knn_sample": s02_knn_sample,
+        "s03_lsh_topk": s03_lsh_topk,
+        "x01_extract": x01_extract,
+        "x02_extract_stats": x02_extract_stats,
+    }
+
+
+def _stoplist_sql(lang: str) -> str:
+    return ", ".join(f"'{w}'" for w in text.LANG_STOPWORDS[lang])
+
+
+def _tokens_sql(col: str) -> str:
+    return (f"case when length(trim({col})) = 0 then []::varchar[] "
+            f"else regexp_split_to_array(trim({col}), '\\s+') end")
+
+
+def _hits_sql(col: str, lang: str) -> str:
+    return (f"len(list_filter({_tokens_sql(f'lower({col})')}, "
+            f"t -> t in ({_stoplist_sql(lang)})))")
+
+
+def oracle_sql() -> dict[str, str]:
+    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    all_hits = " + ".join(_hits_sql("text", lang) for lang in sorted(text.LANG_STOPWORDS))
+    langs = sorted(text.LANG_STOPWORDS)
+
+    # lang argmax with ascending-code tie-break, as nested CASE
+    best_expr = f"'{langs[0]}'"
+    hits_exprs = {lang: _hits_sql("text", lang) for lang in langs}
+    best_hits_expr = hits_exprs[langs[0]]
+    for lang in langs[1:]:
+        cond = f"({hits_exprs[lang]}) > ({best_hits_expr})"
+        best_expr = f"case when {cond} then '{lang}' else {best_expr} end"
+        best_hits_expr = f"case when {cond} then ({hits_exprs[lang]}) else ({best_hits_expr}) end"
+
+    return {
+        "q01_pricing_summary": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= timestamp '1998-09-02'
+            group by l_returnflag, l_linestatus
+        """,
+        "q02_top_customers": """
+            select c_custkey, c_name,
+                   round(sum(o_totalprice), 2) as total_spent,
+                   count(*) as n_orders
+            from orders join customer on o_custkey = c_custkey
+            group by c_custkey, c_name
+            order by total_spent desc, c_custkey asc
+            limit 10
+        """,
+        "q03_region_rollup": """
+            select r_name, count(*) as n_customers,
+                   round(avg(c_acctbal), 4) as avg_acctbal
+            from customer
+            join nation on c_nationkey = n_nationkey
+            join region on n_regionkey = r_regionkey
+            group by r_name
+        """,
+        "q04_running_value": """
+            select event_id, user_id,
+                   strftime(ts, '%Y-%m-%d %H:%M:%S') as ts_s,
+                   round(sum(value) over (partition by user_id
+                         order by ts, event_id), 4) as running_value
+            from events
+        """,
+        "q05_sessionize": """
+            with g as (
+              select user_id,
+                     case when lag(ts) over w is null
+                            or epoch(ts) - epoch(lag(ts) over w) > 1800
+                          then 1 else 0 end as new_sess
+              from events
+              window w as (partition by user_id order by ts, event_id)
+            )
+            select user_id, sum(new_sess) as n_sessions, count(*) as n_events
+            from g group by user_id
+        """,
+        "q06_event_type_daily": """
+            select strftime(date_trunc('day', ts), '%Y-%m-%d') as day,
+                   event_type, count(*) as n,
+                   round(sum(value), 4) as sum_value
+            from events group by 1, 2
+        """,
+        "q07_order_priority": """
+            select o_orderstatus, o_orderpriority, count(*) as n,
+                   round(avg(o_totalprice), 4) as avg_price
+            from orders
+            where o_orderdate >= timestamp '1994-01-01'
+            group by 1, 2
+        """,
+        "q08_brand_volume": """
+            select p_brand, round(sum(l_quantity), 2) as sum_qty,
+                   count(distinct s_suppkey) as n_suppliers
+            from lineitem
+            join part on l_partkey = p_partkey
+            join supplier on l_suppkey = s_suppkey
+            group by p_brand
+        """,
+        "t01_token_stats": f"""
+            select doc_id,
+                   len({_tokens_sql('text')}) as n_tokens,
+                   length(text) as n_chars_txt,
+                   round(case when len({_tokens_sql('text')}) > 0
+                         then length(regexp_replace(text, '\\s+', '', 'g'))
+                              / len({_tokens_sql('text')})
+                         else 0.0 end, 4) as avg_token_len
+            from documents
+        """,
+        "t02_quality": f"""
+            with f as (
+              select doc_id,
+                     len({_tokens_sql('text')}) as n_tokens,
+                     length(text) as n_chars_txt,
+                     length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) as n_punct,
+                     {all_hits} as n_stopwords
+              from documents
+            )
+            select doc_id, n_tokens, n_punct, n_stopwords,
+                   (case when n_chars_txt between 200 and 20000 then 40 else 0 end
+                    + case when n_tokens > 0
+                           and n_chars_txt - n_tokens + 1 >= 3 * n_tokens
+                           and n_chars_txt <= 13 * n_tokens then 20 else 0 end
+                    + case when n_punct > 0 and n_punct * 100 <= n_chars_txt * 8 then 20 else 0 end
+                    + case when n_stopwords * 10 >= n_tokens then 20 else 0 end
+                   ) as quality_score
+            from f
+        """,
+        "t03_langid": f"""
+            select doc_id,
+                   case when ({best_hits_expr}) > 0 then {best_expr}
+                        else 'und' end as lang_pred,
+                   ({best_hits_expr}) as lang_conf_hits
+            from documents
+        """,
+        "t04_fingerprint": f"""
+            select doc_id, md5({norm}) as fp from documents
+        """,
+        "t05_exact_dedup": f"""
+            select md5({norm}) as fp, min(doc_id) as doc_id,
+                   count(*) as n_copies
+            from documents group by 1
+        """,
+        "s01_topk_cosine": """
+            with q as (select embedding::double[] as e from embeddings where vec_id = 0),
+            scored as (
+              select vec_id,
+                     list_cosine_similarity(embedding::double[], (select e from q)) as score
+              from embeddings where vec_id <> 0
+            )
+            select row_number() over (order by score desc, vec_id asc) as rank,
+                   vec_id
+            from scored order by score desc, vec_id asc limit 10
+        """,
+        "s02_knn_sample": """
+            with q as (
+              select vec_id as q_id, embedding::double[] as q_vec
+              from embeddings where vec_id < 10
+            ),
+            scored as (
+              select q.q_id, e.vec_id as nn_id,
+                     list_cosine_similarity(e.embedding::double[], q.q_vec) as score
+              from embeddings e cross join q
+              where e.vec_id <> q.q_id
+            ),
+            ranked as (
+              select q_id, nn_id,
+                     row_number() over (partition by q_id
+                                        order by score desc, nn_id asc) as rank
+              from scored
+            )
+            select q_id, rank, nn_id from ranked where rank <= 5
+        """,
+    }

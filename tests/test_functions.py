@@ -1,0 +1,156 @@
+"""Functional correctness of dedup / similarity / multimodal operators on
+constructed inputs with KNOWN duplicates and neighbors (the sf testdata has
+none, so the oracle runs only prove the plans execute)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+BASE = ("the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest to find some food for the long winter")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                                    # exact dup of 1
+        (3, BASE.replace("quick", "fast")),           # near dup of 1
+        (4, "completely different text about spark distributed query engines "
+            "processing petabytes of web data with arrow vectorized kernels"),
+        (5, ""),                                      # empty
+        (6, BASE.replace("dog", "cat").replace("forest", "jungle")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.mark.spark
+def test_exact_dedup(docs):
+    from docvision_spark.functions.dedup import exact_dedup, exact_dup_groups
+
+    kept = exact_dedup(docs).collect()
+    by_fp = {r["fp"]: r for r in kept}
+    assert len(kept) == 5  # 1&2 collapse
+    groups = exact_dup_groups(docs).collect()
+    assert len(groups) == 1 and groups[0]["doc_id"] == 1 and groups[0]["n_copies"] == 2
+    assert by_fp  # fingerprints non-null
+
+
+@pytest.mark.spark
+def test_minhash_finds_near_dups(docs):
+    from docvision_spark.functions.dedup import minhash_lsh_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in minhash_lsh_pairs(docs, jaccard_threshold=0.7).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.7
+    assert not any({a, b} & {4} for a, b in pairs)  # distinct doc never pairs
+
+
+@pytest.mark.spark
+def test_simhash_finds_near_dups(docs):
+    from docvision_spark.functions.dedup import simhash_pairs
+
+    pairs = {(r["id_a"], r["id_b"]) for r in simhash_pairs(docs, max_hamming=6).collect()}
+    assert (1, 2) in pairs
+    assert not any({a, b} & {4} for a, b in pairs)
+
+
+@pytest.mark.spark
+def test_ngram_jaccard_pairs(docs):
+    from docvision_spark.functions.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs
+    assert not any({a, b} & {4} for a, b in pairs)
+
+
+@pytest.mark.spark
+def test_winnow_fingerprint_overlap(spark, docs):
+    from docvision_spark.functions.fingerprint import winnow, winnow_fingerprints
+
+    out = {r["doc_id"]: r for r in winnow_fingerprints(docs).collect()}
+    assert out[5]["fingerprints"] == []
+    f1, f2, f4 = (set(out[i]["fingerprints"]) for i in (1, 2, 4))
+    assert f1 == f2
+    assert len(f1 & f4) / max(1, len(f1 | f4)) < 0.05
+    # pure-function parity: distributed == local
+    assert set(winnow(BASE)) == f1
+
+
+@pytest.mark.spark
+def test_similarity_lsh_recall_vs_bruteforce(spark):
+    """On clustered data (where ANN is meaningful) hyperplane LSH at a small
+    probe radius must recover most true neighbors. The sf testdata embeddings
+    are near-uniform random (top-1 cosine ≈ 0.33) — no ANN method can beat
+    probe-fraction there, so we construct 3 well-separated clusters."""
+    import random
+
+    from docvision_spark.functions.similarity import brute_force_topk, lsh_topk
+
+    rng = random.Random(42)
+    dim, per_cluster = 64, 60
+    cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(3)]
+    rows = []
+    vid = 0
+    for c in cents:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.gauss(0, 0.15) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [x + rng.gauss(0, 0.15) for x in cents[0]]
+
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    ann = [r["vec_id"] for r in lsh_topk(emb, q, k=10,
+                                         n_planes=12, max_probe_hamming=2).collect()]
+    recall = len(set(exact) & set(ann)) / 10
+    assert recall >= 0.7, f"LSH recall {recall} too low vs brute force"
+    assert all(v < per_cluster for v in exact), "true neighbors are cluster 0"
+
+
+@pytest.mark.spark
+def test_cosine_score_matches_duckdb(spark):
+    """Float parity spot-check backing the rank-only s01 oracle."""
+    import duckdb
+
+    from docvision_spark.functions.similarity import brute_force_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    got = {r["vec_id"]: r["score"] for r in
+           brute_force_topk(emb, q, k=5, exclude_id=0).collect()}
+    con = duckdb.connect()
+    want = dict(con.execute("""
+        with q as (select embedding::double[] e
+                   from read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+                   where vec_id = 0)
+        select vec_id, list_cosine_similarity(embedding::double[], (select e from q))
+        from read_parquet('/root/testdata/sf0.001/embeddings.parquet')
+        where vec_id <> 0 order by 2 desc, vec_id limit 5
+    """).fetchall())
+    assert set(got) == set(want)
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+@pytest.mark.spark
+def test_multimodal_plumbing(spark):
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features, make_fake_media)
+
+    rows = [
+        (1, "image", make_fake_media(1, "image", 640, 480, 1)),
+        (2, "video", make_fake_media(2, "video", 1280, 720, 250)),
+        (3, "audio", make_fake_media(3, "audio", 0, 0, 44100)),
+        (4, "image", b"\x89PNG\r\n not really decodable here"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert out[1]["width"] == 640 and out[1]["height"] == 480
+    assert out[2]["n_frames"] == 250 and out[2]["duration_s"] == 10.0
+    assert out[4]["error"] and "NotImplementedError" in out[4]["error"]
+    assert out[1]["feature_hash"] and out[1]["error"] is None
