@@ -1,0 +1,93 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Headline metric (BASELINE.json): documents/sec extraction throughput on the
+Common-Crawl-style pages corpus, measured over the mapInPandas kernel stage
+with warmed python workers (startup excluded — throughput is a steady-state
+property; cold-start is reported separately as `startup_s`).
+
+Also times the headline relational/dedup/similarity queries at the given sf.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_DOCS (default 24000 — bench pages corpus size).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "24000"))
+
+# headline queries timed at SF_DIR (subset of the full registry: one per
+# operator family; full coverage runs in the driver's correctness pass)
+HEADLINE = [
+    "q01_pricing_summary", "q02_top_customers", "q04_running_value",
+    "q05_sessionize", "q06_event_type_daily", "q08_brand_volume",
+    "t01_token_stats", "t02_quality", "t03_langid", "t05_exact_dedup",
+    "d01_minhash_pairs", "d02_simhash_pairs", "d04_winnow_fingerprints",
+    "s01_topk_cosine", "s02_knn_sample",
+]
+
+
+def bench_extraction(spark, n_docs: int) -> dict:
+    from docvision_spark.corpus import ensure_corpus
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+
+    pages_dir = ensure_corpus(
+        os.path.join(REPO, "data", f"pages_bench_{n_docs}"), n_docs)
+
+    t_cold = time.perf_counter()
+    # warm-up: spin up python workers + JIT the scan (tiny slice)
+    pages = read_pages(spark, pages_dir)
+    extract_pages(pages.limit(256), partitions=CPUS).count()
+    startup_s = time.perf_counter() - t_cold
+
+    t0 = time.perf_counter()
+    out = extract_pages(pages, partitions=2 * CPUS)
+    n = out.filter("error is null").count()
+    wall = time.perf_counter() - t0
+    return {"docs": n, "wall_s": round(wall, 3),
+            "docs_per_sec": round(n / wall, 1), "startup_s": round(startup_s, 3)}
+
+
+def main() -> None:
+    from docvision_spark.pipeline.session import get_spark
+    from docvision_spark.queries import queries
+
+    spark = get_spark(app_name="docvision-bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ext = bench_extraction(spark, BENCH_DOCS)
+
+    qtimes: dict[str, float] = {}
+    reg = queries()
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = reg[name](spark, SF_DIR)
+        df.count()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(ext["wall_s"] + sum(qtimes.values()), 3)
+    result = {
+        "metric": "extraction docs/sec + headline query seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": {"extract": ext["wall_s"], **qtimes},
+        "sf": SF_DIR,
+        "extraction": ext,
+        "cpus": CPUS,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -321,9 +321,20 @@ def write_corpus(out_dir: str, n_docs: int, n_buckets: int = N_BUCKETS_DEFAULT) 
     from collections import defaultdict
     import os
 
+    urls = gen_urls(n_docs)
+    if n_docs >= 5000:
+        # parallel generation — order-independent since records are a pure
+        # function of url and get sorted per bucket before writing
+        from functools import partial
+        from multiprocessing import Pool
+
+        with Pool(min(16, os.cpu_count() or 4)) as pool:
+            recs = pool.map(partial(make_page, n_buckets=n_buckets), urls,
+                            chunksize=256)
+    else:
+        recs = [make_page(u, n_buckets) for u in urls]
     by_bucket: dict[int, list[PageRecord]] = defaultdict(list)
-    for url in gen_urls(n_docs):
-        rec = make_page(url, n_buckets)
+    for rec in recs:
         by_bucket[rec.bucket].append(rec)
 
     schema = pa.schema([

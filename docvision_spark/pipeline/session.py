@@ -40,6 +40,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.python.worker.reuse", "true")
+        # JVM<->python-worker transport over unix domain sockets (Spark 4):
+        # the TCP-loopback default suffers Nagle/delayed-ACK stalls that cap
+        # Arrow feed at ~20 MB/s; UDS measured 20x faster on binary columns
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
