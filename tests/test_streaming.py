@@ -1,0 +1,96 @@
+"""Structured Streaming tests: continuous extraction parity with batch,
+exactly-once resume via checkpoint, watermarked crawl-rate aggregation."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures", "golden.jsonl")
+
+
+@pytest.mark.spark
+def test_stream_extract_matches_batch(spark, pages_dir, tmp_path):
+    from docvision_spark.streaming.ingest import start_extract_query
+
+    out = str(tmp_path / "stream_out")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_extract_query(spark, pages_dir, out, ckpt)
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 300
+    assert got.select("url").distinct().count() == 300
+
+    # byte-identity vs goldens (same kernel, streaming execution)
+    want = {}
+    with open(FIXTURE, encoding="utf-8") as f:
+        for line in f:
+            row = json.loads(line)
+            if "_meta" not in row:
+                want[row["url"]] = row
+    rows = got.select("url", "id", "text").collect()
+    checked = 0
+    for r in rows:
+        g = want.get(r["url"])
+        if g is None:
+            continue
+        assert r["id"] == g["id"]
+        assert hashlib.sha256(r["text"].encode()).hexdigest() == g["text_sha256"]
+        checked += 1
+    assert checked == len(want)
+
+    # exactly-once resume: restarting the query over the same input is a no-op
+    q2 = start_extract_query(spark, pages_dir, out, ckpt)
+    q2.awaitTermination(300)
+    assert spark.read.parquet(out).count() == 300
+
+
+@pytest.mark.spark
+def test_crawl_rate_watermarked_agg(spark, pages_dir, tmp_path):
+    """Watermarked windowed agg over an event-time-ordered feed (a real
+    crawl feed arrives roughly in warc_ts order; the bucketed batch layout
+    is NOT time-ordered, so streaming it directly would — correctly — drop
+    most rows as late; that late-drop behavior is asserted separately)."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docvision_spark.streaming.ingest import start_crawl_rate_query
+
+    # build a time-ordered 8-chunk feed with increasing mtimes
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    tbl = pa.concat_tables([
+        pq.read_table(os.path.join(pages_dir, d, f))
+        for d in sorted(os.listdir(pages_dir)) if d.startswith("bucket=")
+        for f in os.listdir(os.path.join(pages_dir, d))
+    ]).sort_by("warc_ts")
+    n = tbl.num_rows
+    chunk = (n + 7) // 8
+    now = time.time()
+    for i in range(8):
+        p = str(feed / f"part-{i:02d}.parquet")
+        pq.write_table(tbl.slice(i * chunk, chunk), p)
+        os.utime(p, (now + i, now + i))
+
+    out = str(tmp_path / "rate_out")
+    q = start_crawl_rate_query(spark, str(feed), out, str(tmp_path / "rate_ckpt"))
+    q.awaitTermination(300)
+
+    agg = spark.read.parquet(out)
+    for c in ("window_start", "host", "n_docs", "bytes_in"):
+        assert c in agg.columns
+    tot = agg.agg(F.sum("n_docs")).collect()[0][0]
+    # append mode withholds windows not yet past the final watermark
+    # (last chunk ≈ n/8 rows + 2-day watermark tail)
+    assert tot >= n * 3 // 4, f"only {tot}/{n} rows emitted"
+    # hot-host skew fixture shows up in the aggregate (~30% of docs)
+    hot = (agg.filter(F.col("host") == "bigportal.example.com")
+           .agg(F.sum("n_docs")).collect()[0][0])
+    assert 0.15 <= hot / tot <= 0.45
