@@ -19,9 +19,12 @@ from dataclasses import dataclass, field
 
 from docvision_spark.kernel.entities import decode_entities
 from docvision_spark.kernel.html_tokenizer import (
+    END,
+    START,
+    TEXT,
     VOID_ELEMENTS,
     parse_attrs,
-    tokenize,
+    scan,
 )
 
 # Tags that terminate the current text block when opened or closed.
@@ -308,14 +311,16 @@ class _Builder:
         # unmatched end tag: ignored (fixed error-recovery rule)
 
     def run(self, html: str) -> list[Block]:
-        for tok in tokenize(html):
-            if tok.kind == "text":
-                self._append_text(tok.data)
-            elif tok.kind == "start":
-                self._open(tok.data, tok.attrs, tok.self_closing)
-            elif tok.kind == "end":
-                self._close(tok.data)
-            # comments / doctype dropped
+        append_text = self._append_text
+        open_ = self._open
+        close = self._close
+        for kind, data, attrs, self_closing in scan(html):
+            if kind == TEXT:
+                append_text(data)
+            elif kind == START:
+                open_(data, attrs, self_closing)
+            else:
+                close(data)
         self._close_to(0)
         self._flush()
         return self.blocks

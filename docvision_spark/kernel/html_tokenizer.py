@@ -1,9 +1,11 @@
 """Spec-subset HTML5 tokenizer — regex-scanner based, deterministic.
 
-Produces a flat token stream (start/end/text/comment/doctype). Rawtext
-elements (script/style/...) swallow their content so no JS/CSS leaks into
-extracted text. Designed for throughput: one compiled master regex scans the
-document; per-token work is O(token length).
+Produces a flat token stream (start/end/text). Rawtext elements
+(script/style/...) swallow their content so no JS/CSS leaks into extracted
+text. Designed for throughput: one compiled master regex scans the document;
+tokens are plain tuples (kind, data, attrs, self_closing) with kind as a
+small int — this is the hottest loop of the 100 TB path, so no NamedTuple
+allocation, and dispatch is on Match.lastgroup.
 
 Capability ancestor in the reference: OCR recognize (processing/
 ocr_engine.py:73-88) — "turn the raw payload into positioned text runs".
@@ -15,13 +17,20 @@ from __future__ import annotations
 import re
 from typing import Iterator, NamedTuple
 
+TEXT = 0
+START = 1
+END = 2
 
+# Back-compat shim for tests/tools that want a readable token: tokenize()
+# yields plain tuples; Tok wraps one.
 class Tok(NamedTuple):
-    kind: str          # 'start' | 'end' | 'text' | 'comment' | 'doctype'
+    kind: str          # 'start' | 'end' | 'text'
     data: str          # tag name (lower) or raw text
     attrs: str = ""    # raw attribute substring for start tags
     self_closing: bool = False
 
+
+_KIND_NAME = {TEXT: "text", START: "start", END: "end"}
 
 _MASTER_RE = re.compile(
     r"""<(?:
@@ -40,7 +49,15 @@ _ATTR_RE = re.compile(
 )
 
 # Elements whose content is raw (never parsed as markup).
-RAWTEXT_ELEMENTS = frozenset({"script", "style", "textarea", "title", "noscript", "template", "svg", "math"})
+RAWTEXT_ELEMENTS = frozenset({"script", "style", "textarea", "title",
+                              "noscript", "template", "svg", "math"})
+
+# Pre-compiled close-tag scanners for rawtext elements (hot path: every
+# page has several <script>/<style> blocks).
+_RAWTEXT_CLOSE = {
+    name: re.compile(r"</\s*" + name + r"\s*>", re.IGNORECASE)
+    for name in RAWTEXT_ELEMENTS
+}
 
 # Void elements: never have end tags.
 VOID_ELEMENTS = frozenset({
@@ -67,38 +84,40 @@ def parse_attrs(attrs_raw: str) -> dict[str, str]:
     return out
 
 
-def tokenize(html: str) -> Iterator[Tok]:
-    """Yield tokens over the whole document."""
+def scan(html: str) -> Iterator[tuple]:
+    """Yield (kind:int, data:str, attrs:str, self_closing:bool) tuples.
+    Comments, doctypes, and processing instructions are dropped here."""
     pos = 0
     n = len(html)
     search = _MASTER_RE.search
     while pos < n:
         m = search(html, pos)
         if m is None:
-            yield Tok("text", html[pos:])
+            yield (TEXT, html[pos:], "", False)
             return
-        if m.start() > pos:
-            yield Tok("text", html[pos:m.start()])
+        start = m.start()
+        if start > pos:
+            yield (TEXT, html[pos:start], "", False)
         pos = m.end()
-        if m.group("start") is not None:
+        grp = m.lastgroup
+        if grp == "attrs" or grp == "start":
             name = m.group("start").lower()
             attrs = m.group("attrs") or ""
             self_closing = attrs.rstrip().endswith("/")
-            yield Tok("start", name, attrs, self_closing)
+            yield (START, name, attrs, self_closing)
             if not self_closing and name in RAWTEXT_ELEMENTS:
-                # swallow raw content up to the matching end tag
-                close = re.compile(r"</\s*" + name + r"\s*>", re.IGNORECASE)
-                cm = close.search(html, pos)
+                cm = _RAWTEXT_CLOSE[name].search(html, pos)
                 if cm is None:
-                    yield Tok("end", name)
+                    yield (END, name, "", False)
                     return
-                # rawtext content is dropped (script/style) — emit nothing
-                pos = cm.end()
-                yield Tok("end", name)
-        elif m.group("end") is not None:
-            yield Tok("end", m.group("end").lower())
-        elif m.group("comment") is not None:
-            yield Tok("comment", m.group("comment"))
-        elif m.group("doctype") is not None:
-            yield Tok("doctype", m.group("doctype"))
-        # processing instructions are dropped
+                pos = cm.end()  # rawtext content dropped
+                yield (END, name, "", False)
+        elif grp == "end":
+            yield (END, m.group("end").lower(), "", False)
+        # comment / doctype / pi: dropped
+
+
+def tokenize(html: str) -> Iterator[Tok]:
+    """Readable-token wrapper over scan() (tests, debugging)."""
+    for kind, data, attrs, sc in scan(html):
+        yield Tok(_KIND_NAME[kind], data, attrs, sc)
