@@ -1,0 +1,100 @@
+"""Physical-plan quality gates: the scale properties must be visible in
+explain() output, not just hoped for. These tests pin them so a refactor
+that silently drops a pushdown or broadcasts the wrong side fails CI.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.spark
+def test_pages_scan_prunes_columns(spark, pages_dir):
+    """The kernel stage must never read the naive `text` column (it can be
+    20 KB/row of dead weight at 100 TB)."""
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+
+    plan = plan_of(extract_pages(read_pages(spark, pages_dir)))
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan, plan
+    assert "text" not in scan[0], f"naive text column not pruned: {scan[0]}"
+    assert "html" in scan[0] and "url" in scan[0]
+
+
+@pytest.mark.spark
+def test_resume_antijoin_prunes_committed_scan(spark, pages_dir, tmp_path):
+    """Resume reads only `url` from the committed output (never re-reads
+    text/markdown payloads)."""
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.extract_job import run_extract_job
+
+    out_dir = str(tmp_path / "out")
+    run_extract_job(spark, pages_dir, out_dir, partitions=4)
+    committed = snapshots.committed_urls(spark, out_dir)
+    plan = plan_of(committed)
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "markdown" not in scan[0] and "text" not in scan[0]
+
+
+@pytest.mark.spark
+def test_filter_pushdown_reaches_parquet(spark):
+    df = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+          .filter(F.col("l_shipdate") <= "1998-09-02")
+          .select("l_returnflag", "l_quantity"))
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1].splitlines()[0]
+
+
+@pytest.mark.spark
+def test_dim_joins_are_broadcast(spark):
+    """q03's dim joins must be BroadcastHashJoin, never SortMergeJoin —
+    shuffling a fact table against a 25-row dim is the classic scale bug."""
+    from docvision_spark.queries import q03_region_rollup
+
+    plan = plan_of(q03_region_rollup(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+def test_partial_aggregation_present(spark):
+    """q01 must show map-side partial aggregation (HashAggregate before the
+    exchange) so the shuffle carries group partials, not raw rows."""
+    from docvision_spark.queries import q01_pricing_summary
+
+    plan = plan_of(q01_pricing_summary(spark, "/root/testdata/sf0.001"))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+@pytest.mark.spark
+def test_extraction_stage_shape(spark, pages_dir):
+    """Exactly one exchange (the salt repartition) feeds the python stage;
+    extraction itself must be a single MapInPandas, no extra shuffles."""
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+
+    plan = plan_of(extract_pages(read_pages(spark, pages_dir)))
+    body = plan.split("== Physical Plan ==", 1)[1].split("\n\n")[0]
+    assert body.count("MapInPandas") == 1
+    assert body.count("Exchange") == 1, f"expected exactly 1 exchange:\n{body}"
+
+
+@pytest.mark.spark
+def test_bucket_partition_pruning(spark, pages_dir):
+    """Filtering on the bucket partition column must prune partitions at
+    scan time (visible as PartitionFilters in the scan node)."""
+    df = spark.read.parquet(pages_dir).filter(F.col("bucket") == 3)
+    plan = plan_of(df)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "bucket" in pf[0], plan
