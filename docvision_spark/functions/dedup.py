@@ -83,33 +83,61 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.array(*[_minhash(j) for j in range(num_hashes)])
 
 
+def minhash_signatures_agg(
+    df: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures via explode + single-pass multi-min aggregation.
+
+    minhash_signature() is fine for one-off signatures, but inside a
+    collapsed projection the shingling subtree gets inlined into all
+    num_hashes expressions (regexp-normalize + substring fan-out recomputed
+    num_hashes times). Here shingling is computed ONCE per document; the
+    num_hashes mins ride one hash-aggregate with map-side partials — the
+    shuffle carries num_hashes longs per doc, not the shingle sets.
+    Returns (id, mh array<long>).
+    """
+    exploded = df.select(F.col(id_col).alias("id"),
+                         F.explode(shingles_col).alias("s"))
+    aggs = [F.min(F.xxhash64(F.lit(j), F.col("s"))).alias(f"m{j}")
+            for j in range(num_hashes)]
+    per_doc = exploded.groupBy("id").agg(*aggs)
+    return per_doc.select(
+        "id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("mh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = 32,
+    num_hashes: int = 16,
     bands: int = 8,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
     max_bucket: int = 64,
     jaccard_threshold: float = 0.8,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verification.
 
-    rows/band = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b. With 32/8
-    (r=4), j=0.8 -> ~97% recall. Returns (id_a, id_b, jaccard) with
-    id_a < id_b and jaccard >= threshold (jaccard as rational ints compared
-    cross-multiplied — no float threshold wobble).
+    rows/band = num_hashes/bands; collision prob ≈ 1-(1-j^r)^b. Defaults
+    16/8 (r=2): j=0.8 -> >99.9% recall; false candidates are cheap because
+    every candidate is exactly verified. Word 3-gram shingles by default
+    (~7x fewer shingles than char-5 at equal dedup quality on prose; pass
+    shingle_mode='char' for short/CJK-ish text). Returns (id_a, id_b,
+    jaccard) with id_a < id_b and jaccard >= threshold (threshold compared
+    as cross-multiplied integers — no float wobble).
     """
     r = num_hashes // bands
-    sig = (
-        df.select(
-            F.col(id_col).alias("id"),
-            char_shingles(F.col(text_col), shingle_k).alias("sh"),
-        )
-        .withColumn("mh", minhash_signature(F.col("sh"), num_hashes))
+    mk = char_shingles if shingle_mode == "char" else word_shingles
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        mk(F.col(text_col), shingle_k).alias("sh"),
     )
+    sig = minhash_signatures_agg(shingled, "id", "sh", num_hashes)
+
+    # bands carry only (id, band, bkey) — never the shingle sets (an 8-way
+    # band explode of 2000-element arrays would 8x the shuffle for nothing)
     banded = sig.select(
-        "id", "sh",
+        "id",
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
@@ -117,7 +145,7 @@ def minhash_lsh_pairs(
             )
             for b in range(bands)
         ])).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bkey")
+    ).select("id", "bb.band", "bb.bkey")
 
     # cap pathological buckets (degenerate shingle sets) to bound the join
     banded = (
@@ -134,10 +162,16 @@ def minhash_lsh_pairs(
     cand = (
         a.join(b, ["band", "bkey"])
          .filter(F.col("a.id") < F.col("b.id"))
-         .select(
-             F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-             F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
          .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact-Jaccard verification only on candidates: shingle sets joined in
+    # here, never shuffled with the bands
+    cand = (
+        cand.join(shingled.select(F.col("id").alias("id_a"),
+                                  F.col("sh").alias("sh_a")), "id_a")
+            .join(shingled.select(F.col("id").alias("id_b"),
+                                  F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -179,13 +213,41 @@ def simhash64(col: Column) -> Column:
     return sig
 
 
+def simhash_signatures_agg(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """SimHash signatures via explode + single-pass 64-sum aggregation.
+
+    simhash64() fans the token array into 64 collapsed-projection scans;
+    here each token is hashed once and the 64 bit-counters ride one
+    hash-aggregate (map-side partials carry 64 longs per doc).
+    Returns (id, sh long).
+    """
+    toks = F.split(F.trim(normalized(F.col(text_col))), " ")
+    exploded = df.select(F.col(id_col).alias("id"),
+                         F.explode(toks).alias("t"))
+    hashed = exploded.select("id", F.xxhash64("t").alias("h"))
+    aggs = [
+        F.sum(F.shiftright("h", k).bitwiseAND(F.lit(1).cast("long"))).alias(f"b{k}")
+        for k in range(64)
+    ] + [F.count("*").alias("n")]
+    per_doc = hashed.groupBy("id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for k in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{k}") * 2 > F.col("n"),
+                   F.shiftleft(F.lit(1).cast("long"), k))
+            .otherwise(F.lit(0).cast("long")))
+    return per_doc.select("id", sig.alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4 x 16-bit bands; any band equal
     -> candidate; verify Hamming distance <= max_hamming)."""
-    sig = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sh"))
+    sig = simhash_signatures_agg(df, id_col, text_col)
     banded = sig.select(
         "id", "sh",
         F.explode(F.array(*[
