@@ -146,6 +146,52 @@ def q08_brand_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def a01_page_assembly(spark: SparkSession, sf: str) -> DataFrame:
+    """A1 page->document assembly shape (reference core/parser.py:308-322):
+    collect parts per key, order by part number via array_sort — order
+    guaranteed by the sort, not arrival. Exercised on lineitem (order ->
+    sorted line numbers) so the oracle can verify it."""
+    li = load(spark, sf, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+          .agg(
+              F.concat_ws(
+                  ",",
+                  F.transform(
+                      F.array_sort(F.collect_list("l_linenumber")),
+                      lambda x: x.cast("string"))).alias("lines"),
+              F.count("*").alias("n_lines"),
+          )
+    )
+
+
+def p01_empty_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """P1 empty-content filter (reference core/parser.py:358-359)."""
+    d = load(spark, sf, "documents")
+    return (
+        d.filter(F.length(F.trim("text")) > 0)
+         .select("doc_id", F.length(F.trim("text")).alias("n_trimmed"))
+    )
+
+
+def p05_transcription(spark: SparkSession, sf: str) -> DataFrame:
+    """P5 transcription-tag extract (reference utils/helper.py:5-21): wrap
+    half the corpus in <transcription> tags, extract back with the DOTALL
+    regex + trimmed-original fallback."""
+    from docvision_spark.pipeline.writers import transcription_extract
+
+    d = load(spark, sf, "documents")
+    wrapped = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(F.lit("<transcription>"), F.col("text"),
+                        F.lit("</transcription>")))
+         .otherwise(F.col("text")).alias("raw"),
+    )
+    return wrapped.select(
+        "doc_id", F.length(transcription_extract(F.col("raw"))).alias("n_extracted"))
+
+
 # ===========================================================================
 # text analysis over documents
 # ===========================================================================
@@ -249,6 +295,32 @@ def x01_extract(spark: SparkSession, sf: str) -> DataFrame:
                       F.length("text").alias("n_chars"))
 
 
+def x03_host_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-host extraction stats over the pages corpus (the skew fixture is
+    visible here: one host carries ~30% of rows)."""
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+
+    out = extract_pages(read_pages(spark, pages_for(sf)))
+    return (
+        out.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+           .groupBy("host")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum(F.length("text")).alias("chars_out"),
+                F.sum("bytes_in").alias("bytes_in"))
+    )
+
+
+def x04_page_assembly_md(spark: SparkSession, sf: str) -> DataFrame:
+    """K3/A1 sink shape: assembled markdown per document."""
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+    from docvision_spark.pipeline.writers import assemble_pages
+
+    out = extract_pages(read_pages(spark, pages_for(sf)))
+    pages = out.select("url", F.lit(1).alias("page_no"), "markdown")
+    return assemble_pages(pages).select("url", "n_pages",
+                                        F.length("document_md").alias("md_len"))
+
+
 def x02_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
     from docvision_spark.pipeline.extract_job import extract_pages, read_pages
 
@@ -275,6 +347,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_event_type_daily": q06_event_type_daily,
         "q07_order_priority": q07_order_priority,
         "q08_brand_volume": q08_brand_volume,
+        "a01_page_assembly": a01_page_assembly,
+        "p01_empty_filter": p01_empty_filter,
+        "p05_transcription": p05_transcription,
         "t01_token_stats": t01_token_stats,
         "t02_quality": t02_quality,
         "t03_langid": t03_langid,
@@ -289,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s03_lsh_topk": s03_lsh_topk,
         "x01_extract": x01_extract,
         "x02_extract_stats": x02_extract_stats,
+        "x03_host_stats": x03_host_stats,
+        "x04_page_assembly_md": x04_page_assembly_md,
     }
 
 
@@ -389,6 +466,32 @@ def oracle_sql() -> dict[str, str]:
             join part on l_partkey = p_partkey
             join supplier on l_suppkey = s_suppkey
             group by p_brand
+        """,
+        "a01_page_assembly": """
+            select l_orderkey,
+                   array_to_string(list_sort(list(l_linenumber)), ',') as lines,
+                   count(*) as n_lines
+            from lineitem group by l_orderkey
+        """,
+        "p01_empty_filter": """
+            select doc_id, length(trim(text)) as n_trimmed
+            from documents where length(trim(text)) > 0
+        """,
+        "p05_transcription": """
+            with w as (
+              select doc_id,
+                     case when doc_id % 2 = 0
+                          then '<transcription>' || text || '</transcription>'
+                          else text end as raw
+              from documents
+            )
+            select doc_id,
+                   length(case when length(regexp_extract(raw,
+                              '(?s)<transcription>(.*?)</transcription>', 1)) > 0
+                          then trim(regexp_extract(raw,
+                              '(?s)<transcription>(.*?)</transcription>', 1))
+                          else trim(raw) end) as n_extracted
+            from w
         """,
         "t01_token_stats": f"""
             select doc_id,
