@@ -146,6 +146,54 @@ def q08_brand_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q09_props_json(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 structured-output analogue (reference core/client.py:89-96 parses
+    model output into a user schema): from_json over the events.props JSON
+    column with an explicit schema — typed extraction, no sniffing."""
+    e = load(spark, sf, "events")
+    return (
+        e.withColumn("k", F.from_json("props", "k INT").getField("k"))
+         .groupBy("event_type")
+         .agg(F.count("*").alias("n"),
+              F.sum("k").alias("sum_k"),
+              F.round(F.avg("k"), 4).alias("avg_k"),
+              F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_null"))
+    )
+
+
+def t06_langid_accuracy(spark: SparkSession, sf: str) -> DataFrame:
+    """Lang-ID quality readout: predictions vs the table's lang labels."""
+    d = load(spark, sf, "documents")
+    pred = text.with_lang_id(d)
+    return (
+        pred.groupBy("lang")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1)
+                        .otherwise(0)).alias("n_correct"))
+    )
+
+
+def s04_cosine_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, threshold 0.4). Exact
+    all-pairs is O(n^2) — correct at oracle scale; the 100 TB path is the
+    LSH-bucketed variant (s03/similarity.lsh_topk) which trades exactness
+    for a signature self-join."""
+    from docvision_spark.functions.similarity import cosine
+
+    emb = load(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = emb.alias("a")
+    b = emb.alias("b")
+    c = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+                 c.alias("cos"))
+         .filter(F.col("cos") >= 0.4)
+         .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+    )
+
+
 def a01_page_assembly(spark: SparkSession, sf: str) -> DataFrame:
     """A1 page->document assembly shape (reference core/parser.py:308-322):
     collect parts per key, order by part number via array_sort — order
@@ -347,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_event_type_daily": q06_event_type_daily,
         "q07_order_priority": q07_order_priority,
         "q08_brand_volume": q08_brand_volume,
+        "q09_props_json": q09_props_json,
+        "t06_langid_accuracy": t06_langid_accuracy,
+        "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
         "a01_page_assembly": a01_page_assembly,
         "p01_empty_filter": p01_empty_filter,
         "p05_transcription": p05_transcription,
@@ -466,6 +517,32 @@ def oracle_sql() -> dict[str, str]:
             join part on l_partkey = p_partkey
             join supplier on l_suppkey = s_suppkey
             group by p_brand
+        """,
+        "q09_props_json": """
+            select event_type, count(*) as n,
+                   sum(json_extract(props, '$.k')::int) as sum_k,
+                   round(avg(json_extract(props, '$.k')::int), 4) as avg_k,
+                   sum(case when json_extract(props, '$.k') is null
+                       then 1 else 0 end) as n_null
+            from events group by event_type
+        """,
+        "t06_langid_accuracy": f"""
+            with p as (
+              select lang,
+                     case when ({{best_hits}}) > 0 then {{best}}
+                          else 'und' end as lang_pred
+              from documents
+            )
+            select lang, count(*) as n,
+                   sum(case when lang_pred = lang then 1 else 0 end) as n_correct
+            from p group by lang
+        """.format(best_hits=best_hits_expr, best=best_expr),
+        "s04_cosine_dup_pairs": """
+            with e as (select vec_id, embedding::double[] as v from embeddings)
+            select a.vec_id as id_a, b.vec_id as id_b,
+                   round(list_cosine_similarity(a.v, b.v), 4) as cos_r
+            from e a join e b on a.vec_id < b.vec_id
+            where list_cosine_similarity(a.v, b.v) >= 0.4
         """,
         "a01_page_assembly": """
             select l_orderkey,
