@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
 N_BUCKETS_DEFAULT = 16
+PARALLEL_THRESHOLD = 5000  # use a process pool above this corpus size
 
 HOSTS = [
     "bigportal.example.com",  # hot host: ~30% of urls
@@ -322,7 +323,7 @@ def write_corpus(out_dir: str, n_docs: int, n_buckets: int = N_BUCKETS_DEFAULT) 
     import os
 
     urls = gen_urls(n_docs)
-    if n_docs >= 5000:
+    if n_docs >= PARALLEL_THRESHOLD:
         # parallel generation — order-independent since records are a pure
         # function of url and get sorted per bucket before writing
         from functools import partial

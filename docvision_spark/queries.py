@@ -369,6 +369,15 @@ def x04_page_assembly_md(spark: SparkSession, sf: str) -> DataFrame:
                                         F.length("document_md").alias("md_len"))
 
 
+def x05_validation_report(spark: SparkSession, sf: str) -> DataFrame:
+    """C4 analogue: structural validation pass over extraction output."""
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+    from docvision_spark.pipeline.validate import validation_report
+
+    out = extract_pages(read_pages(spark, pages_for(sf)))
+    return validation_report(out)
+
+
 def x02_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
     from docvision_spark.pipeline.extract_job import extract_pages, read_pages
 
@@ -417,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x02_extract_stats": x02_extract_stats,
         "x03_host_stats": x03_host_stats,
         "x04_page_assembly_md": x04_page_assembly_md,
+        "x05_validation_report": x05_validation_report,
     }
 
 
