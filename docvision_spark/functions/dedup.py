@@ -41,33 +41,65 @@ def exact_dup_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 # --------------------------------------------------------------- shingles --
 
+def let_(value: Column, body) -> Column:
+    """Let-binding for higher-order-function expressions.
+
+    A lambda that CAPTURES an expression tree (e.g. `norm.substr(i, k)` with
+    norm = regexp_replace(...)) re-evaluates the captured tree on EVERY
+    element — HOFs run interpreted, with no common-subexpression elimination
+    (measured: char-5 shingling re-ran the normalize regexp ~2000x/row).
+    Wrapping the value in a 1-element array and transforming over it binds
+    the computed VALUE to the lambda variable, which is evaluated once.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def char_shingles(col: Column, k: int = 5) -> Column:
     """Distinct k-char shingles of the normalized text (expression-only:
     sequence + transform + substring + array_distinct)."""
-    norm = normalized(col)
-    n = F.length(norm)
-    return F.when(n < k, F.array(norm)).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n - F.lit(k - 1)),
-                lambda i: norm.substr(i, F.lit(k)),
+    def over(norm: Column) -> Column:
+        n = F.length(norm)
+        return F.when(n < k, F.array(norm)).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k - 1)),
+                    lambda i: norm.substr(i, F.lit(k)),
+                )
             )
         )
-    )
+    return let_(normalized(col), over)
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """Distinct k-word shingles (n-grams joined by a space)."""
-    toks = F.split(F.trim(normalized(col)), " ")
-    n = F.size(toks)
-    return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - F.lit(k)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    def over(toks: Column) -> Column:
+        n = F.size(toks)
+        return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(0), n - F.lit(k)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+                )
             )
         )
-    )
+    return let_(F.split(F.trim(normalized(col)), " "), over)
+
+
+def word_shingle_hashes(col: Column, k: int = 3) -> Column:
+    """Distinct 64-bit hashes of k-word shingles — no n-gram string is ever
+    materialized (xxhash64 takes the k token columns directly). Jaccard over
+    hash sets equals Jaccard over shingle sets up to 2^-64 collisions; at
+    100 TB the saved string allocation/shuffle bytes dominate everything."""
+    def over(toks: Column) -> Column:
+        n = F.size(toks)
+        def gram_hash(i: Column) -> Column:
+            return F.xxhash64(*[F.element_at(toks, i + j) for j in range(1, k + 1)])
+        return F.when(n < k, F.array(F.xxhash64(F.concat_ws(" ", toks)))).otherwise(
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(0), n - F.lit(k)), gram_hash)
+            )
+        )
+    return let_(F.split(F.trim(normalized(col)), " "), over)
 
 
 # ---------------------------------------------------------------- minhash --
@@ -127,7 +159,7 @@ def minhash_lsh_pairs(
     as cross-multiplied integers — no float wobble).
     """
     r = num_hashes // bands
-    mk = char_shingles if shingle_mode == "char" else word_shingles
+    mk = char_shingles if shingle_mode == "char" else word_shingle_hashes
     shingled = df.select(
         F.col(id_col).alias("id"),
         mk(F.col(text_col), shingle_k).alias("sh"),
