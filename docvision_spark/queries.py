@@ -178,13 +178,12 @@ def s04_cosine_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     all-pairs is O(n^2) — correct at oracle scale; the 100 TB path is the
     LSH-bucketed variant (s03/similarity.lsh_topk) which trades exactness
     for a signature self-join."""
-    from docvision_spark.functions.similarity import cosine
+    from docvision_spark.functions.similarity import dot, with_unit_vectors
 
-    emb = load(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb = with_unit_vectors(load(spark, sf, "embeddings")).select("vec_id", "u")
     a = emb.alias("a")
     b = emb.alias("b")
-    c = cosine(F.col("a.v"), F.col("b.v"))
+    c = dot(F.col("a.u"), F.col("b.u"))  # unit vectors: cosine == dot
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
          .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
