@@ -1,0 +1,91 @@
+"""Training-data curation pipeline: the full composition this engine exists
+for. One spark-submit turns a raw pages table (parquet or WARC) into a
+deduplicated, quality-filtered text corpus with an audit trail.
+
+    pages ──extract──> text ──validate──> structural pass
+          ──quality──> score >= threshold
+          ──exact dedup──> drop byte-copies (keep smallest url)
+          ──minhash near-dup──> drop jaccard>=0.8 duplicates (keep one per pair-cluster)
+          ──> curated parquet + report JSON
+
+Usage:
+    spark-submit jobs/curate.py --input pages_dir [--warc] --output out_dir
+        [--min-quality 60] [--cores N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="docvision-spark curation pipeline")
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--warc", action="store_true", help="input is WARC files")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=int, default=60)
+    ap.add_argument("--jaccard", type=float, default=0.8)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from docvision_spark.functions.dedup import minhash_lsh_pairs
+    from docvision_spark.functions.text import with_quality
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+    from docvision_spark.pipeline.session import get_spark
+    from docvision_spark.pipeline.validate import validation_flags
+    from docvision_spark.pipeline.warc import read_warc
+
+    spark = get_spark(app_name="docvision-curate", cores=args.cores)
+    report: dict = {}
+
+    pages = (read_warc(spark, args.input).select("url", "html", "lang")
+             if args.warc else read_pages(spark, args.input))
+
+    # 1. extract (cache: every later stage reuses it)
+    out = extract_pages(pages).cache()
+    report["extracted"] = out.count()
+    report["extract_errors"] = out.filter(F.col("error").isNotNull()).count()
+
+    # 2. structural validation
+    valid = validation_flags(out).filter(F.col("valid") & F.col("error").isNull())
+
+    # 3. quality floor
+    scored = with_quality(valid, "text")
+    kept = scored.filter(F.col("quality_score") >= args.min_quality) \
+                 .select("url", "id", "text", "markdown", "page_count",
+                         "lang", "quality_score").cache()
+    report["quality_pass"] = kept.count()
+
+    # 4. exact dedup: keep the lexicographically smallest url per content id
+    #    (id is already the sha3 of the text — no re-hash needed)
+    w_min = kept.groupBy("id").agg(F.min("url").alias("url"))
+    exact = kept.join(w_min, ["id", "url"])  # inner: keeps one row per id
+    report["after_exact_dedup"] = exact.count()
+
+    # 5. near-dup drop: greedy keep-lowest-url per minhash pair
+    pairs = minhash_lsh_pairs(
+        exact.withColumn("doc_id", F.xxhash64("url")),
+        id_col="doc_id", text_col="text", jaccard_threshold=args.jaccard)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    curated = (exact.withColumn("doc_id", F.xxhash64("url"))
+                    .join(losers, "doc_id", "left_anti")
+                    .drop("doc_id"))
+    n_final = curated.count()
+    report["after_near_dedup"] = n_final
+
+    curated.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+    with open(os.path.join(args.output, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

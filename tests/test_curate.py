@@ -1,0 +1,80 @@
+"""End-to-end curation pipeline test with planted duplicates (subprocess —
+the job owns its SparkSession lifecycle)."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_curate_drops_planted_duplicates(tmp_path):
+    from docvision_spark.corpus import gen_urls, make_page
+
+    recs = [make_page(u) for u in gen_urls(60)]
+    rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+
+    def add(url, ts, html, lang):
+        rows["url"].append(url)
+        rows["warc_ts"].append(ts)
+        rows["html"].append(html)
+        rows["text"].append(None)
+        rows["lang"].append(lang)
+
+    n_html = 0
+    for r in recs:
+        add(r.url, r.warc_ts, r.html, r.lang)
+        if r.html[:5] != b"%PDF-" and n_html < 8:
+            n_html += 1
+            # exact duplicate under a different url
+            add(r.url + "?dup=1", r.warc_ts, r.html, r.lang)
+            if n_html <= 4:
+                # near duplicate: inject one extra paragraph
+                mutated = r.html.replace(
+                    b"</article>",
+                    b"<p>One additional sentence of content appended here "
+                    b"to make this page a near duplicate of the original "
+                    b"page rather than an exact byte copy of it.</p></article>", 1)
+                add(r.url + "?near=1", r.warc_ts, mutated, r.lang)
+
+    schema = pa.schema([("url", pa.string()),
+                        ("warc_ts", pa.timestamp("us", tz="UTC")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    in_dir = tmp_path / "pages"
+    in_dir.mkdir()
+    pq.write_table(pa.Table.from_pydict(rows, schema=schema),
+                   str(in_dir / "part-0.parquet"))
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(in_dir), "--output", out_dir,
+         "--cores", "8", "--min-quality", "40"],
+        capture_output=True, text=True, timeout=500, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+
+    n_input = len(rows["url"])
+    assert report["extracted"] == n_input
+    # all 8 exact dups collapse
+    assert report["after_exact_dedup"] <= report["quality_pass"] - 8
+    # all 4 near dups drop
+    assert report["after_near_dedup"] <= report["after_exact_dedup"] - 4
+
+    import duckdb
+    got = duckdb.connect().execute(
+        f"select count(*), count(distinct id) from read_parquet('{out_dir}/data/*.parquet')"
+    ).fetchone()
+    assert got[0] == got[1] == report["after_near_dedup"]
