@@ -131,6 +131,89 @@ def lsh_topk(
     )
 
 
+# ------------------------------------------------------------------- IVF --
+
+def ivf_build(
+    emb: DataFrame, n_centroids: int = 16, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic IVF index: k-means-lite with seeds chosen by hash order
+    (no RNG), Lloyd iterations as broadcast-join assign + per-dim explode
+    means. Returns (assignments df [id, cid, u], centroid list).
+
+    Scale shape: assignment is a broadcast nested-loop over n_centroids
+    (small), the update is one shuffle keyed by (cid, dim). At write time
+    the table is partitioned by cid -> queries probe only nprobe partitions.
+    """
+    spark = emb.sparkSession
+    base = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("id"), "u").cache()
+
+    # deterministic seeds: lowest xxhash64(id)
+    seeds = [(i, [float(x) for x in r["u"]]) for i, r in enumerate(
+        base.orderBy(F.xxhash64(F.col("id").cast("string")), "id")
+            .limit(n_centroids).collect())]
+    cents = seeds
+    for _ in range(iters):
+        cdf = F.broadcast(spark.createDataFrame(
+            [(cid, vec) for cid, vec in cents], "cid int, c array<double>"))
+        assign = (
+            base.crossJoin(cdf)
+                .withColumn("score", dot(F.col("u"), F.col("c")))
+                .groupBy("id")
+                .agg(F.max_by("cid", F.struct("score", (-F.col("cid")).alias("tb")))
+                      .alias("cid"))
+        )
+        # per-dimension means via posexplode (ties/order deterministic)
+        means = (
+            assign.join(base, "id")
+                  .select("cid", F.posexplode("u").alias("d", "x"))
+                  .groupBy("cid", "d").agg(F.avg("x").alias("m"))
+                  .groupBy("cid")
+                  .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
+                  .select("cid", F.transform("dm", lambda s: s["m"]).alias("c"))
+        )
+        cents = [(r["cid"], [float(x) for x in r["c"]])
+                 for r in means.orderBy("cid").collect()]
+
+    cdf = F.broadcast(spark.createDataFrame(
+        [(cid, vec) for cid, vec in cents], "cid int, c array<double>"))
+    assigned = (
+        base.crossJoin(cdf)
+            .withColumn("score", dot(F.col("u"), F.col("c")))
+            .groupBy("id")
+            .agg(F.max_by("cid", F.struct("score", (-F.col("cid")).alias("tb")))
+                  .alias("cid"))
+            .join(base, "id")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    assigned: DataFrame, cents: list[tuple[int, list[float]]],
+    query_vec: list[float], k: int = 10, nprobe: int = 2,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe the nprobe closest centroids, exact-rank within them."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec)) or 1.0
+    qu = [x / qn for x in query_vec]
+    scored_cents = sorted(
+        ((sum(a * b for a, b in zip(qu, c)), cid) for cid, c in cents),
+        reverse=True)
+    probe = [cid for _s, cid in scored_cents[:nprobe]]
+    q = F.array(*[F.lit(float(v)).cast("double") for v in qu])
+    cand = assigned.filter(F.col("cid").isin(probe))
+    if exclude_id is not None:
+        cand = cand.filter(F.col("id") != exclude_id)
+    return (
+        cand.select(F.col("id").alias("vec_id"), dot(F.col("u"), q).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(k)
+    )
+
+
 def knn_join_sample(
     emb: DataFrame, n_queries: int = 20, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -173,6 +173,18 @@ def t06_langid_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def s05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-bucketed ANN (deterministic k-means-lite, nprobe=3 of 8) — the
+    partition-pruned scale path for similarity search."""
+    from docvision_spark.functions.similarity import ivf_build, ivf_topk
+
+    emb = load(spark, sf, "embeddings")
+    assigned, cents = ivf_build(emb, n_centroids=8, iters=1)
+    q = _query_vec(spark, sf, 0)
+    return ivf_topk(assigned, cents, q, k=10, nprobe=3, exclude_id=0) \
+        .select("vec_id", F.round("score", 4).alias("score"))
+
+
 def s04_cosine_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, threshold 0.4). Exact
     all-pairs is O(n^2) — correct at oracle scale; the 100 TB path is the
@@ -421,6 +433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s01_topk_cosine": s01_topk_cosine,
         "s02_knn_sample": s02_knn_sample,
         "s03_lsh_topk": s03_lsh_topk,
+        "s05_ivf_topk": s05_ivf_topk,
         "x01_extract": x01_extract,
         "x02_extract_stats": x02_extract_stats,
         "x03_host_stats": x03_host_stats,

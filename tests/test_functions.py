@@ -113,6 +113,40 @@ def test_similarity_lsh_recall_vs_bruteforce(spark):
 
 
 @pytest.mark.spark
+def test_ivf_recall_on_clusters(spark):
+    """IVF with nprobe=2 of 8 centroids recovers the true neighbors on
+    clustered data (same fixture rationale as the LSH test)."""
+    import random
+
+    from docvision_spark.functions.similarity import (
+        brute_force_topk, ivf_build, ivf_topk)
+
+    rng = random.Random(7)
+    dim, per_cluster = 32, 50
+    cents = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    vid = 0
+    for c in cents:
+        for _ in range(per_cluster):
+            rows.append((vid, [x + rng.gauss(0, 0.1) for x in c]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [x + rng.gauss(0, 0.1) for x in cents[1]]
+
+    assigned, centroids = ivf_build(emb, n_centroids=8, iters=2)
+    exact = [r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()]
+    ann = [r["vec_id"] for r in ivf_topk(assigned, centroids, q, k=10, nprobe=2).collect()]
+    recall = len(set(exact) & set(ann)) / 10
+    assert recall >= 0.8, f"IVF recall {recall}"
+    # determinism: rebuilding yields identical assignments
+    assigned2, centroids2 = ivf_build(emb, n_centroids=8, iters=2)
+    assert centroids == centroids2
+    a1 = {r["id"]: r["cid"] for r in assigned.select("id", "cid").collect()}
+    a2 = {r["id"]: r["cid"] for r in assigned2.select("id", "cid").collect()}
+    assert a1 == a2
+
+
+@pytest.mark.spark
 def test_cosine_score_matches_duckdb(spark):
     """Float parity spot-check backing the rank-only s01 oracle."""
     import duckdb
