@@ -129,7 +129,7 @@ class _Builder:
         if self.pre_depth:
             text = decode_entities(raw)
         else:
-            if not raw.strip():
+            if raw.isspace():  # hot path: inter-tag whitespace, no alloc
                 if self.buf and not self.buf[-1].endswith(" "):
                     self.buf.append(" ")
                     if self.anchor_depth:
