@@ -41,10 +41,20 @@ def sha3_id(text: str) -> str:
     return hashlib.sha3_256(text.encode("utf-8")).hexdigest()
 
 
+# Mojibake guard: >10% U+FFFD replacement chars in the extracted text means
+# the payload was not text in any declared charset (e.g. raw binary) —
+# rational threshold, no float.
+_MOJIBAKE_NUM, _MOJIBAKE_DEN = 1, 10
+
+
 def _extract_html(payload: bytes) -> ExtractResult:
     decoded, charset = decode_html(payload)
     blocks = segment(decoded)
     text, markdown, spans = emit(blocks)
+    n_bad = text.count("�")
+    if text and n_bad * _MOJIBAKE_DEN > len(text) * _MOJIBAKE_NUM:
+        return ExtractResult(id=sha3_id(""), processing_mode="html",
+                             charset=charset, error="mojibake")
     return ExtractResult(
         id=sha3_id(text), text=text, markdown=markdown, spans=spans,
         page_count=1, processing_mode="html", charset=charset,
@@ -53,6 +63,11 @@ def _extract_html(payload: bytes) -> ExtractResult:
 
 def _extract_pdf(payload: bytes) -> ExtractResult:
     pages, page_count = pdf_text.parse_pdf(payload)
+    if page_count == 0 or all(not blocks for blocks in pages):
+        # %PDF magic but nothing parseable: surface it for lineage instead
+        # of silently emitting an empty document
+        return ExtractResult(id=sha3_id(""), processing_mode="pdf",
+                             charset="binary", error="pdf_no_pages")
     text_parts: list[str] = []
     md_parts: list[str] = []
     spans: list[Span] = []
