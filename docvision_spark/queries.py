@@ -146,6 +146,38 @@ def q08_brand_volume(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q10_nation_revenue_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """4-way join + windowed rank within region (dense_rank ties handled
+    identically in both engines)."""
+    c = load(spark, sf, "customer")
+    o = load(spark, sf, "orders")
+    n = load(spark, sf, "nation")
+    r = load(spark, sf, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .groupBy("r_name", "n_name")
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("r_name").orderBy(F.col("revenue").desc(), F.col("n_name"))
+    return rev.withColumn("rnk", F.row_number().over(w))
+
+
+def q11_monthly_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series shape: monthly totals + lag-based deltas."""
+    o = load(spark, sf, "orders")
+    monthly = (
+        o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                "yyyy-MM").alias("month"))
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
+              F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy("month")
+    return monthly.withColumn(
+        "delta", F.round(F.col("total") - F.coalesce(F.lag("total").over(w), F.lit(0.0)), 2))
+
+
 def q09_props_json(spark: SparkSession, sf: str) -> DataFrame:
     """T4 structured-output analogue (reference core/client.py:89-96 parses
     model output into a user schema): from_json over the events.props JSON
@@ -416,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_order_priority": q07_order_priority,
         "q08_brand_volume": q08_brand_volume,
         "q09_props_json": q09_props_json,
+        "q10_nation_revenue_rank": q10_nation_revenue_rank,
+        "q11_monthly_growth": q11_monthly_growth,
         "t06_langid_accuracy": t06_langid_accuracy,
         "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
         "a01_page_assembly": a01_page_assembly,
@@ -539,6 +573,31 @@ def oracle_sql() -> dict[str, str]:
             join part on l_partkey = p_partkey
             join supplier on l_suppkey = s_suppkey
             group by p_brand
+        """,
+        "q10_nation_revenue_rank": """
+            with rev as (
+              select r_name, n_name, round(sum(o_totalprice), 2) as revenue
+              from orders
+              join customer on o_custkey = c_custkey
+              join nation on c_nationkey = n_nationkey
+              join region on n_regionkey = r_regionkey
+              group by r_name, n_name
+            )
+            select r_name, n_name, revenue,
+                   row_number() over (partition by r_name
+                                      order by revenue desc, n_name) as rnk
+            from rev
+        """,
+        "q11_monthly_growth": """
+            with m as (
+              select strftime(date_trunc('month', o_orderdate), '%Y-%m') as month,
+                     round(sum(o_totalprice), 2) as total,
+                     count(*) as n_orders
+              from orders group by 1
+            )
+            select month, total, n_orders,
+                   round(total - coalesce(lag(total) over (order by month), 0.0), 2) as delta
+            from m
         """,
         "q09_props_json": """
             select event_type, count(*) as n,
