@@ -201,6 +201,25 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _pdf_table(rng: random.Random, words: list[str]) -> list[str]:
+    """x-aligned cell grid via relative Td moves (one Tj per cell) — the
+    shape kernel/pdf_text detects as a table."""
+    ncols = rng.randint(2, 4)
+    nrows = rng.randint(3, 5)
+    col_w = 130
+    out: list[str] = []
+    for r in range(nrows):
+        for c in range(ncols):
+            cell = (rng.choice(words).capitalize() if r == 0
+                    else f"{rng.choice(words)} {rng.randint(1, 999)}")
+            out.append(f"({_pdf_escape(cell)}) Tj")
+            if c < ncols - 1:
+                out.append(f"{col_w} 0 Td")
+        out.append(f"{-col_w * (ncols - 1)} -16 Td")
+    out.append("0 -12 Td")
+    return out
+
+
 def _pdf_page_stream(rng: random.Random, words: list[str], title: str | None) -> bytes:
     lines: list[str] = ["BT", "/F1 11 Tf", "14 TL", "1 0 0 1 72 760 Tm"]
     if title:
@@ -220,6 +239,8 @@ def _pdf_page_stream(rng: random.Random, words: list[str], title: str | None) ->
             else:
                 lines.append(f"({txt}) Tj")
             lines.append("T*")
+        if rng.random() < 0.3:
+            lines += _pdf_table(rng, words)
         lines.append("0 -10 Td")
     lines.append("ET")
     return "\n".join(lines).encode("latin-1")

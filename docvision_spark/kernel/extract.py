@@ -83,11 +83,19 @@ def _extract_pdf(payload: bytes) -> ExtractResult:
             if pos:
                 pos += 2
             text_parts.append(b.text)
-            kind = "heading" if b.kind == "heading" else "paragraph"
+            if b.kind == "heading":
+                kind = "heading"
+                md_parts.append("#" * b.level + " " + b.text)
+            elif b.kind == "table" and b.rows:
+                kind = "table"
+                from docvision_spark.kernel.markdown import _pipe_table
+                md_parts.append(_pipe_table(b.rows))
+            else:
+                kind = "paragraph"
+                md_parts.append(b.text)
             spans.append((bid, kind, pos, pos + len(b.text)))
             pos += len(b.text)
             bid += 1
-            md_parts.append(("#" * b.level + " " + b.text) if b.kind == "heading" else b.text)
     text = "\n\n".join(text_parts)
     return ExtractResult(
         id=sha3_id(text), text=text, markdown="\n\n".join(md_parts),

@@ -96,10 +96,11 @@ class Run:
 
 @dataclass
 class PdfBlock:
-    kind: str      # heading | paragraph
+    kind: str      # heading | paragraph | table
     level: int
     text: str
     size: float
+    rows: list | None = None   # table cell grid (kind == 'table')
 
 
 def _parse_objects(payload: bytes) -> dict[int, bytes]:
@@ -249,6 +250,32 @@ def _runs_to_blocks(runs: list[Run]) -> list[PdfBlock]:
             lines[-1] = (yq, max(sz, r.size), rs)
         else:
             lines.append((r.yq, r.size, [r]))
+    # table detection by x-aligned runs: >=2 consecutive lines, each with
+    # >=2 runs at IDENTICAL integer-quantized x positions, form a cell grid
+    def x_sig(rs: list[Run]) -> tuple:
+        return tuple(int(round(r.x)) for r in sorted(rs, key=lambda r: r.x))
+
+    items: list[tuple] = []   # ("line", (yq, sz, runs)) | ("table", rows, last_yq)
+    i = 0
+    while i < len(lines):
+        rs = lines[i][2]
+        if len(rs) >= 2:
+            sig = x_sig(rs)
+            j = i + 1
+            while (j < len(lines) and len(lines[j][2]) >= 2
+                   and x_sig(lines[j][2]) == sig):
+                j += 1
+            if j - i >= 2:
+                rows_grid = [
+                    [" ".join(r.text.split()) for r in sorted(ls[2], key=lambda r: r.x)]
+                    for ls in lines[i:j]
+                ]
+                items.append(("table", rows_grid, lines[j - 1][0]))
+                i = j
+                continue
+        items.append(("line", lines[i]))
+        i += 1
+
     # line gap statistics -> block splits
     sizes = sorted(ln[1] for ln in lines)
     median_size = sizes[len(sizes) // 2]
@@ -270,7 +297,16 @@ def _runs_to_blocks(runs: list[Run]) -> list[PdfBlock]:
                 blocks.append(PdfBlock("paragraph", 0, txt, cur_size))
         cur_lines = []
 
-    for yq, sz, rs in lines:
+    for item in items:
+        if item[0] == "table":
+            flush()
+            _tag, rows_grid, last_yq = item
+            txt = " ".join(" ".join(r) for r in rows_grid)
+            blocks.append(PdfBlock("table", 0, txt, cur_size, rows=rows_grid))
+            prev_y = last_yq
+            cur_lines = []
+            continue
+        yq, sz, rs = item[1]
         line_txt = " ".join(r.text for r in sorted(rs, key=lambda r: r.x))
         gap = prev_y - yq
         new_block = (
