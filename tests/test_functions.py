@@ -70,6 +70,28 @@ def test_ngram_jaccard_pairs(docs):
 
 
 @pytest.mark.spark
+def test_expression_signature_variants(spark, docs):
+    """The one-off expression APIs (minhash_signature, simhash64) agree with
+    the aggregate implementations' semantics on identical/near content."""
+    from docvision_spark.functions.dedup import (
+        char_shingles, minhash_signature, simhash64, simhash_signatures_agg)
+
+    sig = docs.select(
+        "doc_id",
+        minhash_signature(char_shingles(F.col("text"), 5), 8).alias("mh"),
+        simhash64(F.col("text")).alias("sh"),
+    )
+    got = {r["doc_id"]: r for r in sig.collect()}
+    assert got[1]["mh"] == got[2]["mh"]           # exact dups: equal minhash
+    assert got[1]["sh"] == got[2]["sh"]           # and equal simhash
+    agree_13 = sum(1 for a, b in zip(got[1]["mh"], got[3]["mh"]) if a == b)
+    assert agree_13 >= 4                           # near dup: most mins agree
+    agg = {r["id"]: r["sh"] for r in
+           simhash_signatures_agg(docs).collect()}
+    assert agg[1] == got[1]["sh"]                  # agg == expression variant
+
+
+@pytest.mark.spark
 def test_winnow_fingerprint_overlap(spark, docs):
     from docvision_spark.functions.fingerprint import winnow, winnow_fingerprints
 
