@@ -131,6 +131,60 @@ def lsh_topk(
     )
 
 
+def embedding_dup_pairs_lsh(
+    emb: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    n_planes: int = 16, bands: int = 4, max_bucket: int = 256,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: hyperplane-signature band
+    self-join + exact cosine verification on candidates only.
+
+    Collision math: P(bit agrees) = 1 - theta/pi; at cos=0.9 (theta≈26°)
+    a 4-bit band matches with p≈0.54, any of 4 bands ≈ 96% recall. The
+    all-pairs O(n^2) version (queries.s04) is the oracle twin at test scale;
+    THIS is the shape that survives 10^12 rows — the join keys are 4
+    shuffle-cheap ints and verification touches only bucket collisions.
+    """
+    from pyspark.sql.window import Window
+
+    dim_row = emb.select(F.size(vec_col).alias("d")).first()
+    dim = int(dim_row["d"])
+    r = n_planes // bands
+    signed = with_unit_vectors(emb, vec_col).select(
+        F.col(id_col).alias("id"), "u",
+        hyperplane_signature(F.col(vec_col), n_planes, dim).alias("sig"))
+
+    banded = signed.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("sig", r * b).bitwiseAND(F.lit((1 << r) - 1)).alias("bkey"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+    banded = (
+        banded.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("band", "bkey").orderBy("id")))
+        .filter(F.col("rn") <= max_bucket).drop("rn")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"]).filter(F.col("a.id") < F.col("b.id"))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+         .dropDuplicates(["id_a", "id_b"])
+    )
+    units = signed.select("id", "u")
+    cand = (
+        cand.join(units.select(F.col("id").alias("id_a"), F.col("u").alias("u_a")), "id_a")
+            .join(units.select(F.col("id").alias("id_b"), F.col("u").alias("u_b")), "id_b")
+            .withColumn("cos", dot(F.col("u_a"), F.col("u_b")))
+            .filter(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+    )
+    return cand
+
+
 # ------------------------------------------------------------------- IVF --
 
 def ivf_build(

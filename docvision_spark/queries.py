@@ -217,6 +217,15 @@ def s05_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", F.round("score", 4).alias("score"))
 
 
+def s06_emb_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Scale path of s04: LSH-bucketed embedding near-dup join (signature
+    band self-join + exact verify on candidates only)."""
+    from docvision_spark.functions.similarity import embedding_dup_pairs_lsh
+
+    emb = load(spark, sf, "embeddings")
+    return embedding_dup_pairs_lsh(emb, threshold=0.45)
+
+
 def s04_cosine_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, threshold 0.4). Exact
     all-pairs is O(n^2) — correct at oracle scale; the 100 TB path is the
@@ -468,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s02_knn_sample": s02_knn_sample,
         "s03_lsh_topk": s03_lsh_topk,
         "s05_ivf_topk": s05_ivf_topk,
+        "s06_emb_dup_lsh": s06_emb_dup_lsh,
         "x01_extract": x01_extract,
         "x02_extract_stats": x02_extract_stats,
         "x03_host_stats": x03_host_stats,

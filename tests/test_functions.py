@@ -169,6 +169,48 @@ def test_ivf_recall_on_clusters(spark):
 
 
 @pytest.mark.spark
+def test_embedding_dup_lsh_vs_exact(spark):
+    """LSH-bucketed embedding dedup recovers the high-cosine pairs that the
+    exact O(n^2) pass finds (clustered fixture: near-dups at cos >= 0.9)."""
+    import random
+
+    from docvision_spark.functions.similarity import (
+        dot, embedding_dup_pairs_lsh, with_unit_vectors)
+
+    rng = random.Random(11)
+    dim = 32
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(40)]
+    rows = []
+    vid = 0
+    truth = set()
+    for v in base:
+        rows.append((vid, v))
+        orig = vid
+        vid += 1
+        if rng.random() < 0.4:  # plant a near-dup (tiny perturbation)
+            rows.append((vid, [x + rng.gauss(0, 0.02) for x in v]))
+            truth.add((orig, vid))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_dup_pairs_lsh(emb, threshold=0.9).collect()}
+    # exact truth via brute force
+    u = with_unit_vectors(emb).select("vec_id", "u")
+    a, b = u.alias("a"), u.alias("b")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+              .select(F.col("a.vec_id").alias("id_a"),
+                      F.col("b.vec_id").alias("id_b"),
+                      dot(F.col("a.u"), F.col("b.u")).alias("c"))
+              .filter(F.col("c") >= 0.9).collect()}
+    assert truth <= exact
+    recall = len(got & exact) / max(1, len(exact))
+    assert recall >= 0.9, f"LSH dedup recall {recall}"
+    assert got <= exact  # verification step admits no false positives
+
+
+@pytest.mark.spark
 def test_cosine_score_matches_duckdb(spark):
     """Float parity spot-check backing the rank-only s01 oracle."""
     import duckdb
