@@ -223,7 +223,7 @@ def s06_emb_dup_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from docvision_spark.functions.similarity import embedding_dup_pairs_lsh
 
     emb = load(spark, sf, "embeddings")
-    return embedding_dup_pairs_lsh(emb, threshold=0.45)
+    return embedding_dup_pairs_lsh(emb, threshold=0.4)
 
 
 def s04_cosine_dup_pairs(spark: SparkSession, sf: str) -> DataFrame:
