@@ -560,7 +560,7 @@ def oracle_sql() -> dict[str, str]:
               from events
               window w as (partition by user_id order by ts, event_id)
             )
-            select user_id, sum(new_sess) as n_sessions, count(*) as n_events
+            select user_id, sum(new_sess)::bigint as n_sessions, count(*) as n_events
             from g group by user_id
         """,
         "q06_event_type_daily": """
@@ -611,10 +611,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q09_props_json": """
             select event_type, count(*) as n,
-                   sum(json_extract(props, '$.k')::int) as sum_k,
+                   sum(json_extract(props, '$.k')::int)::bigint as sum_k,
                    round(avg(json_extract(props, '$.k')::int), 4) as avg_k,
                    sum(case when json_extract(props, '$.k') is null
-                       then 1 else 0 end) as n_null
+                       then 1 else 0 end)::bigint as n_null
             from events group by event_type
         """,
         "t06_langid_accuracy": f"""
@@ -625,7 +625,7 @@ def oracle_sql() -> dict[str, str]:
               from documents
             )
             select lang, count(*) as n,
-                   sum(case when lang_pred = lang then 1 else 0 end) as n_correct
+                   sum(case when lang_pred = lang then 1 else 0 end)::bigint as n_correct
             from p group by lang
         """.format(best_hits=best_hits_expr, best=best_expr),
         "s04_cosine_dup_pairs": """

@@ -1,6 +1,14 @@
 """Replicates the driver's correctness gate locally: every oracled query is
 run on Spark AND DuckDB at sf0.001 and compared (row count + column names +
 order-insensitive values). Rows-only queries get sanity checks.
+
+The DuckDB side is fetched through pandas (`.df()`), NOT `fetchall()`,
+because that is the driver's materialization path: a DuckDB HUGEINT (the
+result type of sum() over integers) becomes float64 in pandas, so
+`sum(x)` reads 56.0 while Spark's BIGINT reads 56 — a hash mismatch the
+round-1 driver caught and a `fetchall()`-based gate cannot (Python int
+compares equal to float). `_norm` is type-sensitive (int vs float tagged)
+for the same reason.
 """
 
 from __future__ import annotations
@@ -28,10 +36,19 @@ def ddb():
 
 
 def _norm(v):
+    # type-tagged so 56 (BIGINT) != 56.0 (HUGEINT->float64), like the
+    # driver's value hash
+    import numpy as np
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return round(v, 6)
+            return ("f", "nan")
+        return ("f", round(v, 6))
+    if isinstance(v, int):
+        return ("i", v)
     return v
 
 
@@ -52,9 +69,9 @@ def test_oracle_match(spark, ddb, name):
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
-    res = ddb.execute(entry_mod.oracle_sql()[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    ddf = ddb.execute(entry_mod.oracle_sql()[name]).df()
+    dcols = list(ddf.columns)
+    drows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
