@@ -304,38 +304,49 @@ def simhash_pairs(
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    k: int = 3, threshold: float = 0.5, max_postings: int = 128,
+    k: int = 3, threshold: float = 0.5, max_postings: int | None = 128,
 ) -> DataFrame:
-    """Exact word-k-gram Jaccard near-dup pairs via an inverted shingle index
-    (explode -> self-join on shingle -> count shared -> verify).
+    """Word-k-gram Jaccard near-dup pairs via an inverted shingle index
+    (explode -> self-join on shingle -> candidates -> exact verify).
 
     The inverted-index join only pairs documents that SHARE at least one
     shingle; a df-style cross join never happens. Hot shingles (present in
-    > max_postings docs) are dropped from the index — standard stop-shingle
-    trick; correctness is preserved by the final exact verification on the
-    candidate's full shingle sets.
+    > max_postings docs) are dropped from the index — the standard
+    stop-shingle trick. The final jaccard is EXACT (array_intersect over the
+    candidates' full shingle sets, like minhash_lsh_pairs), so the cap
+    affects RECALL only: a pair sharing nothing but hot shingles is never
+    generated as a candidate. Pass max_postings=None for exact recall
+    (oracle scale); the default 128 is the 100 TB knob.
     """
     sh = df.select(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
     )
     postings = sh.select("id", F.explode("sh").alias("g"))
-    hot = postings.groupBy("g").count().filter(F.col("count") > max_postings).select("g")
-    postings = postings.join(hot, "g", "left_anti")
+    if max_postings is not None:
+        hot = (postings.groupBy("g").count()
+                       .filter(F.col("count") > max_postings).select("g"))
+        postings = postings.join(hot, "g", "left_anti")
     a, b = postings.alias("a"), postings.alias("b")
     cand = (
         a.join(b, "g").filter(F.col("a.id") < F.col("b.id"))
-         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-         .agg(F.count("*").alias("n_shared"))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+         .dropDuplicates(["id_a", "id_b"])
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    # exact verification on candidates only: full shingle sets joined in
+    # here, never shuffled through the inverted index
+    cand = (
+        cand.join(sh.select(F.col("id").alias("id_a"),
+                            F.col("sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     num, den = threshold.as_integer_ratio()
-    out = (
-        cand.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-            .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_shared"))
-            .filter(F.col("n_shared") * den >= F.col("n_union") * num)
+    return (
+        cand.withColumn("n_inter", inter).withColumn("n_union", union)
+            .filter(F.col("n_inter") * den >= F.col("n_union") * num)
             .select("id_a", "id_b",
-                    F.round(F.col("n_shared") / F.col("n_union"), 4).alias("jaccard"))
+                    F.round(F.col("n_inter") / F.col("n_union"), 4).alias("jaccard"))
     )
-    return out

@@ -29,6 +29,12 @@ class ExtractResult:
     text: str = ""
     markdown: str = ""
     spans: list[Span] = field(default_factory=list)
+    # one (page_no, text, markdown) per non-empty page — the analogue of the
+    # reference's List[ParseResult] (one ParseResult per page,
+    # core/parser.py:308-322); empty pages are dropped like the reference's
+    # per-page None squelch (core/parser.py:316-318) but keep their original
+    # 1-indexed page_no. HTML documents are a single page 1.
+    pages: list[tuple[int, str, str]] = field(default_factory=list)
     page_count: int = 0
     processing_mode: str = ""     # 'html' | 'pdf'
     charset: str = ""
@@ -57,6 +63,7 @@ def _extract_html(payload: bytes) -> ExtractResult:
                              charset=charset, error="mojibake")
     return ExtractResult(
         id=sha3_id(text), text=text, markdown=markdown, spans=spans,
+        pages=[(1, text, markdown)],
         page_count=1, processing_mode="html", charset=charset,
     )
 
@@ -68,38 +75,46 @@ def _extract_pdf(payload: bytes) -> ExtractResult:
         # of silently emitting an empty document
         return ExtractResult(id=sha3_id(""), processing_mode="pdf",
                              charset="binary", error="pdf_no_pages")
+    from docvision_spark.kernel.markdown import _pipe_table
+
     text_parts: list[str] = []
-    md_parts: list[str] = []
+    page_results: list[tuple[int, str, str]] = []
     spans: list[Span] = []
     pos = 0
     bid = 0
     for pno, blocks in enumerate(pages, start=1):
         if not blocks:
             continue
-        # page separator comment — format parity with the reference markdown
-        # writer (core/parser.py:536-546)
-        md_parts.append(f"<!-- page {pno} -->")
+        page_texts: list[str] = []
+        page_mds: list[str] = []
         for b in blocks:
             if pos:
                 pos += 2
             text_parts.append(b.text)
+            page_texts.append(b.text)
             if b.kind == "heading":
                 kind = "heading"
-                md_parts.append("#" * b.level + " " + b.text)
+                page_mds.append("#" * b.level + " " + b.text)
             elif b.kind == "table" and b.rows:
                 kind = "table"
-                from docvision_spark.kernel.markdown import _pipe_table
-                md_parts.append(_pipe_table(b.rows))
+                page_mds.append(_pipe_table(b.rows))
             else:
                 kind = "paragraph"
-                md_parts.append(b.text)
+                page_mds.append(b.text)
             spans.append((bid, kind, pos, pos + len(b.text)))
             pos += len(b.text)
             bid += 1
+        page_results.append((pno, "\n\n".join(page_texts), "\n\n".join(page_mds)))
     text = "\n\n".join(text_parts)
+    # document markdown = the reference markdown-writer byte format
+    # (core/parser.py:536-546): '<!-- page N -->\n' + page content, pages
+    # separated by '\n\n---\n\n'
+    markdown = "\n\n---\n\n".join(
+        f"<!-- page {pno} -->\n{md}" for pno, _t, md in page_results)
     return ExtractResult(
-        id=sha3_id(text), text=text, markdown="\n\n".join(md_parts),
-        spans=spans, page_count=page_count, processing_mode="pdf", charset="binary",
+        id=sha3_id(text), text=text, markdown=markdown, spans=spans,
+        pages=page_results, page_count=page_count,
+        processing_mode="pdf", charset="binary",
     )
 
 

@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BooleanType, DoubleType, IntegerType, LongType,
-    StringType, StructField, StructType,
+    MapType, StringType, StructField, StructType,
 )
 
 from docvision_spark import EXTRACTOR_VERSION
@@ -43,12 +43,22 @@ SPAN_TYPE = ArrayType(StructType([
     StructField("end", IntegerType()),
 ]))
 
+# one element per non-empty page — the reference's List[ParseResult]
+# (core/parser.py:308-322) as a nested column; per-page rows come from
+# page_rows() below (posexplode-style), never from re-running the kernel
+PAGE_TYPE = ArrayType(StructType([
+    StructField("page_no", IntegerType()),
+    StructField("text", StringType()),
+    StructField("markdown", StringType()),
+]))
+
 OUTPUT_SCHEMA = StructType([
     StructField("url", StringType()),
     StructField("id", StringType()),
     StructField("text", StringType()),
     StructField("markdown", StringType()),
     StructField("spans", SPAN_TYPE),
+    StructField("pages", PAGE_TYPE),
     StructField("page_count", IntegerType()),
     StructField("lang", StringType()),
     StructField("processing_mode", StringType()),
@@ -58,6 +68,9 @@ OUTPUT_SCHEMA = StructType([
     StructField("processing_time", DoubleType()),
     StructField("bytes_in", LongType()),
     StructField("partition_id", IntegerType()),
+    # open-ended remainder — the analogue of the reference's schemaless
+    # metadata merge (core/parser.py:186-190); fixed facts stay typed columns
+    StructField("metadata", MapType(StringType(), StringType())),
     StructField("error", StringType()),
 ])
 
@@ -106,6 +119,10 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     {"block_id": b, "kind": k, "start": s, "end": e}
                     for (b, k, s, e) in r.spans
                 ],
+                "pages": [
+                    {"page_no": pno, "text": pt, "markdown": pm}
+                    for (pno, pt, pm) in r.pages
+                ],
                 "page_count": r.page_count,
                 "lang": langs[i],
                 "processing_mode": r.processing_mode,
@@ -115,6 +132,13 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "processing_time": dt,
                 "bytes_in": nbytes,
                 "partition_id": pid,
+                "metadata": {
+                    "file_name": urls[i],
+                    "total_pages": str(r.page_count),
+                    "parsing_mode": r.processing_mode,
+                    "charset": r.charset,
+                    "truncated": "1" if r.truncated else "0",
+                },
                 "error": r.error,
             })
             acc_bytes += nbytes
@@ -160,6 +184,31 @@ def extract_pages(pages: DataFrame, partitions: int | None = None) -> DataFrame:
         .drop("host", "salt")
     )
     return prepared.mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)
+
+
+def page_rows(
+    out: DataFrame,
+    start_page: int | None = None,
+    end_page: int | None = None,
+) -> DataFrame:
+    """S4: one row per page + 1-indexed inclusive page-range filter —
+    reference parity for the per-page ParseResult list and the
+    start_page/end_page slice (core/parser.py:280-288, 308-322).
+
+    Explodes the nested pages column of extraction output; the kernel never
+    re-runs. The range predicate lands after a generator, but the pages
+    array itself is column-pruned at the scan when `out` is read back from
+    parquet."""
+    rows = (
+        out.filter(F.col("error").isNull())
+           .select("url", "page_count", F.explode("pages").alias("p"))
+           .select("url", "page_count", "p.page_no", "p.text", "p.markdown")
+    )
+    if start_page is not None:
+        rows = rows.filter(F.col("page_no") >= F.lit(int(start_page)))
+    if end_page is not None:
+        rows = rows.filter(F.col("page_no") <= F.lit(int(end_page)))
+    return rows
 
 
 def run_extract_job(

@@ -23,7 +23,11 @@ from pyspark.sql import functions as F
 
 def assemble_pages(df: DataFrame, key: str = "url",
                    page_col: str = "page_no", text_col: str = "markdown") -> DataFrame:
-    """A1: one row per document with pages ordered by page number."""
+    """A1: one row per document with pages ordered by page number.
+
+    Byte parity with the reference markdown writer (core/parser.py:536-546):
+    each page is '<!-- page N -->' + ONE newline + content; pages separated
+    by '\\n\\n---\\n\\n'."""
     return (
         df.groupBy(key)
           .agg(F.array_sort(F.collect_list(F.struct(page_col, text_col))).alias("pages"))
@@ -36,7 +40,7 @@ def assemble_pages(df: DataFrame, key: str = "url",
                       "pages",
                       lambda p: F.concat(
                           F.lit("<!-- page "), p[page_col].cast("string"),
-                          F.lit(" -->\n\n"), p[text_col]),
+                          F.lit(" -->\n"), p[text_col]),
                   ),
               ).alias("document_md"),
           )
@@ -65,12 +69,10 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_markdown_parts(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """K3: one markdown 'file' per document as (url, document_md) parquet —
     at 10^12 docs a file-per-document sink is an anti-pattern; consumers
-    slice by bucket. df must have url/page_count/markdown columns."""
-    pages = df.select(
-        "url",
-        F.lit(1).alias("page_no"),  # html docs are single-page; pdf markdown
-        "markdown",                  # already embeds its per-page separators
-    )
+    slice by bucket. df must have url + the nested `pages` column (real
+    per-page rows; multi-page PDFs keep their 1-indexed page numbers)."""
+    pages = df.select("url", F.explode("pages").alias("p")) \
+              .select("url", "p.page_no", "p.markdown")
     assembled = assemble_pages(pages)
     assembled.write.mode(mode).parquet(path)
 
