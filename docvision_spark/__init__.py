@@ -10,7 +10,7 @@ inside vectorized pandas/Arrow UDFs over a partitioned Common-Crawl-style
 pages table — no per-row Python, resumable snapshots, per-partition lineage.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.3.1"
 
 # bump on any kernel-output-visible change (goldens must be regenerated)
-EXTRACTOR_VERSION = "docvision-spark-kernel/0.3.0"
+EXTRACTOR_VERSION = "docvision-spark-kernel/0.3.1"

@@ -240,6 +240,10 @@ def ivf_build(
                   .alias("cid"))
             .join(base, "id")
     )
+    # the cache only pays for the Lloyd-iteration collects above; release it
+    # so repeated builds in one session don't accumulate storage. `assigned`
+    # stays correct (recomputes base lazily if evaluated later).
+    base.unpersist()
     return assigned, cents
 
 

@@ -87,9 +87,17 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", score)
 
 
+def cjk_chars(col: Column) -> Column:
+    """Count of CJK-unified-ideograph codepoints (U+4E00..U+9FFF)."""
+    return F.length(F.regexp_replace(col, "[^一-鿿]", ""))
+
+
 def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram-free language ID: argmax of per-language stopword hits, ties
-    broken by language code ascending (deterministic)."""
+    broken by language code ascending (deterministic). Chinese has no
+    useful stopword tokenization (no spaces), so zh is detected first by
+    CJK codepoint ratio: >=20% of non-space chars in U+4E00..U+9FFF
+    (integer cross-multiply, no float)."""
     c = F.col(text_col)
     langs = sorted(LANG_STOPWORDS)
     for lang in langs:
@@ -100,9 +108,15 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         cond = F.col(f"hits_{lang}") > best_hits
         best = F.when(cond, F.lit(lang)).otherwise(best)
         best_hits = F.when(cond, F.col(f"hits_{lang}")).otherwise(best_hits)
+    cjk = cjk_chars(c)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    is_zh = (cjk > 0) & (cjk * 5 >= nonspace)
     return (
-        df.withColumn("lang_pred", F.when(best_hits > 0, best).otherwise(F.lit("und")))
-          .withColumn("lang_conf_hits", best_hits)
+        df.withColumn(
+            "lang_pred",
+            F.when(is_zh, F.lit("zh"))
+             .when(best_hits > 0, best).otherwise(F.lit("und")))
+          .withColumn("lang_conf_hits", F.when(is_zh, cjk).otherwise(best_hits))
     )
 
 

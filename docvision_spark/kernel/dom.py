@@ -129,14 +129,18 @@ class _Builder:
         if self.pre_depth:
             text = decode_entities(raw)
         else:
+            # whitespace separators must land in the buffer the text will
+            # land in — with an open table cell that is tab_cell, not buf
+            # (else '<td><b>a</b> <b>b</b></td>' collapses to cell 'ab')
+            dest = self.tab_cell if self.tab_cell is not None else self.buf
             if raw.isspace():  # hot path: inter-tag whitespace, no alloc
-                if self.buf and not self.buf[-1].endswith(" "):
-                    self.buf.append(" ")
-                    if self.anchor_depth:
+                if dest and not dest[-1].endswith(" "):
+                    dest.append(" ")
+                    if self.anchor_depth and dest is self.buf:
                         self.buf_anchor += 1
                 return
             text = " ".join(decode_entities(raw).split())
-            if raw[:1].isspace() and self.buf and not self.buf[-1].endswith(" "):
+            if raw[:1].isspace() and dest and not dest[-1].endswith(" "):
                 text = " " + text
             if raw[-1:].isspace():
                 text += " "

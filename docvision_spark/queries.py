@@ -578,6 +578,12 @@ def oracle_sql() -> dict[str, str]:
     all_hits = " + ".join(_hits_sql("text", lang) for lang in sorted(text.LANG_STOPWORDS))
     langs = sorted(text.LANG_STOPWORDS)
 
+    # zh detector (text.cjk_chars twin): >=20% non-space chars in the CJK
+    # unified block, integer cross-multiply
+    cjk = "length(regexp_replace(text, '[^一-鿿]', '', 'g'))"
+    nonspace = "length(regexp_replace(text, '\\s', '', 'g'))"
+    is_zh = f"(({cjk}) > 0 and ({cjk}) * 5 >= ({nonspace}))"
+
     # lang argmax with ascending-code tie-break, as nested CASE
     best_expr = f"'{langs[0]}'"
     hits_exprs = {lang: _hits_sql("text", lang) for lang in langs}
@@ -693,14 +699,15 @@ def oracle_sql() -> dict[str, str]:
         "t06_langid_accuracy": f"""
             with p as (
               select lang,
-                     case when ({{best_hits}}) > 0 then {{best}}
+                     case when {{zh}} then 'zh'
+                          when ({{best_hits}}) > 0 then {{best}}
                           else 'und' end as lang_pred
               from documents
             )
             select lang, count(*) as n,
                    sum(case when lang_pred = lang then 1 else 0 end)::bigint as n_correct
             from p group by lang
-        """.format(best_hits=best_hits_expr, best=best_expr),
+        """.format(zh=is_zh, best_hits=best_hits_expr, best=best_expr),
         "s04_cosine_dup_pairs": """
             with e as (select vec_id, embedding::double[] as v from embeddings)
             select a.vec_id as id_a, b.vec_id as id_b,
@@ -765,9 +772,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "t03_langid": f"""
             select doc_id,
-                   case when ({best_hits_expr}) > 0 then {best_expr}
+                   case when {is_zh} then 'zh'
+                        when ({best_hits_expr}) > 0 then {best_expr}
                         else 'und' end as lang_pred,
-                   ({best_hits_expr}) as lang_conf_hits
+                   case when {is_zh} then ({cjk})
+                        else ({best_hits_expr}) end as lang_conf_hits
             from documents
         """,
         "t04_fingerprint": f"""

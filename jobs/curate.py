@@ -69,14 +69,16 @@ def main() -> None:
     exact = kept.join(w_min, ["id", "url"])  # inner: keeps one row per id
     report["after_exact_dedup"] = exact.count()
 
-    # 5. near-dup drop: greedy keep-lowest-url per minhash pair
+    # 5. near-dup drop: keep-lowest-url policy. The pair id is the url
+    #    itself (minhash_lsh_pairs only needs an orderable, groupable id),
+    #    so id_a < id_b IS lexicographic url order and dropping every id_b
+    #    keeps the lowest url of each pair. Chained groups (a~b, b~c) drop
+    #    both b and c — greedy transitive drop under the lowest surviving
+    #    representative, the standard near-dedup policy.
     pairs = minhash_lsh_pairs(
-        exact.withColumn("doc_id", F.xxhash64("url")),
-        id_col="doc_id", text_col="text", jaccard_threshold=args.jaccard)
-    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    curated = (exact.withColumn("doc_id", F.xxhash64("url"))
-                    .join(losers, "doc_id", "left_anti")
-                    .drop("doc_id"))
+        exact, id_col="url", text_col="text", jaccard_threshold=args.jaccard)
+    losers = pairs.select(F.col("id_b").alias("url")).distinct()
+    curated = exact.join(losers, "url", "left_anti")
     n_final = curated.count()
     report["after_near_dedup"] = n_final
 

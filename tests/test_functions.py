@@ -92,6 +92,27 @@ def test_expression_signature_variants(spark, docs):
 
 
 @pytest.mark.spark
+def test_lang_id_zh_cjk_ratio(spark):
+    """zh is detected by CJK codepoint ratio (stopwords can't work for an
+    unsegmented script); latin-script langs still go through stopword argmax;
+    a stray CJK char in latin text does not flip the prediction."""
+    from docvision_spark.functions.text import with_lang_id
+
+    rows = [
+        (1, "数据 处理 系统 的 分析 报告 和 模型"),          # pure zh
+        (2, "the report of the market and the data"),       # en
+        (3, "der bericht und die daten von dem markt"),     # de
+        (4, "the quarterly report of the market includes 中 data"),  # 1 CJK char
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"]
+           for r in with_lang_id(df).select("doc_id", "lang_pred").collect()}
+    assert out[1] == "zh"
+    assert out[2] == "en"
+    assert out[3] == "de"
+    assert out[4] == "en"
+
+
 def test_winnow_fingerprint_overlap(spark, docs):
     from docvision_spark.functions.fingerprint import winnow, winnow_fingerprints
 

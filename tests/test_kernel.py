@@ -107,6 +107,14 @@ def test_segment_table():
     assert blocks[0].rows == [["A", "B"], ["1", "2"]]
 
 
+def test_table_cell_inline_element_spacing():
+    # words separated by inline elements inside a cell keep their separator
+    html = ("<table><tr><td><b>a</b> <b>b</b></td>"
+            "<td>c <i>d</i>e</td></tr></table>")
+    blocks = segment(html)
+    assert blocks[0].rows == [["a b", "c de"]]
+
+
 def test_anchor_chars_tracked():
     html = '<p><a href="x">link text here</a> and some plain words</p>'
     b = segment(html)[0]
