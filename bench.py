@@ -9,7 +9,9 @@ Also times the headline relational/dedup/similarity queries at the given sf.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     BENCH_DOCS (default 24000 — bench pages corpus size).
+     BENCH_DOCS (default 48000 — bench pages corpus size, the SAME corpus
+     as the BENCH/BASELINE.md scaling protocol so round-over-round and
+     bench-vs-baseline numbers are directly comparable).
 """
 
 from __future__ import annotations
@@ -24,7 +26,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "24000"))
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "48000"))
 
 # headline queries timed at SF_DIR (subset of the full registry: one per
 # operator family; full coverage runs in the driver's correctness pass)

@@ -48,6 +48,9 @@ _XCACHE_DOCS = os.path.join(_XCACHE_DIR, "docs.parquet")
 _XCACHE_PAGES = os.path.join(_XCACHE_DIR, "pages.parquet")
 
 
+_XCACHE_REV = 2  # bump when the cache schema changes
+
+
 def _xcache(spark: SparkSession, sf: str) -> None:
     """Materialize extraction output once per (sf tier, kernel version)."""
     import json
@@ -62,6 +65,7 @@ def _xcache(spark: SparkSession, sf: str) -> None:
                 meta = json.load(fh)
             if (meta.get("tier") == tier
                     and meta.get("version") == EXTRACTOR_VERSION
+                    and meta.get("rev") == _XCACHE_REV
                     and os.path.exists(_XCACHE_DOCS)
                     and os.path.exists(_XCACHE_PAGES)):
                 return
@@ -75,16 +79,17 @@ def _xcache(spark: SparkSession, sf: str) -> None:
     flag_cols = ["v1_nonempty", "v2_span_bounds", "v3_span_order",
                  "v4_tables_balanced", "v5_id_wellformed", "valid"]
     (validation_flags(out)
-        .select("url", "id", F.length("text").alias("n_chars"), "page_count",
-                "processing_mode", "lang", "charset", "truncated", "bytes_in",
-                "error", *flag_cols)
+        .select("url", "id", F.length("text").alias("n_chars"), "markdown",
+                "page_count", "processing_mode", "lang", "charset",
+                "truncated", "bytes_in", "error", *flag_cols)
         .write.mode("overwrite").parquet(_XCACHE_DOCS))
     (page_rows(out).select("url", "page_no", "markdown")
         .write.mode("overwrite").parquet(_XCACHE_PAGES))
     out.unpersist()
     os.makedirs(_XCACHE_DIR, exist_ok=True)
     with open(marker, "w") as fh:
-        json.dump({"tier": tier, "version": EXTRACTOR_VERSION}, fh)
+        json.dump({"tier": tier, "version": EXTRACTOR_VERSION,
+                   "rev": _XCACHE_REV}, fh)
 
 
 # ===========================================================================
@@ -426,11 +431,22 @@ def s02_knn_sample(spark: SparkSession, sf: str) -> DataFrame:
                      .select("q_id", "rank", "nn_id")
 
 
+def _lsh_index_for(spark: SparkSession, sf: str) -> str:
+    """Build the write-time LSH signature table once per sf tier."""
+    tier = os.path.basename(os.path.normpath(sf)) or "sf0.001"
+    path = os.path.join(REPO, "data", f"lsh_index_{tier}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        similarity.lsh_index_write(load(spark, sf, "embeddings"), path)
+    return path
+
+
 def s03_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """ANN variant (hyperplane LSH multi-probe) — Spark-only bucketing."""
-    emb = load(spark, sf, "embeddings")
+    """ANN via the write-time LSH signature table: the probe enumerates a
+    prefix Hamming ball and partition-prunes the scan (the 100 TB lookup
+    shape — no full-table signature recompute per query)."""
+    path = _lsh_index_for(spark, sf)
     q = _query_vec(spark, sf, 0)
-    return similarity.lsh_topk(emb, q, k=10, exclude_id=0) \
+    return similarity.lsh_index_topk(spark, path, q, k=10, exclude_id=0) \
                      .select("vec_id", F.round("score", 4).alias("score"))
 
 
@@ -501,6 +517,20 @@ def x05_validation_report(spark: SparkSession, sf: str) -> DataFrame:
     return validation_report(out)
 
 
+def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
+    """T4 structured output over EXTRACTION output (reference
+    core/client.py:89-96 + README.md:127-156): a user-supplied DDL schema
+    applied via from_json to the rows of each document's first markdown
+    pipe table — typed columns out, expression-only."""
+    from docvision_spark.functions.structured import with_structured
+    from docvision_spark.pipeline.extract_job import extract_pages, read_pages
+
+    _xcache(spark, sf)
+    out = extract_pages(read_pages(spark, pages_for(sf)))
+    return with_structured(
+        out.filter(F.col("error").isNull()), "c1 string, c2 string, c3 string")
+
+
 def x02_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
     from docvision_spark.pipeline.extract_job import extract_pages, read_pages
 
@@ -556,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x04_page_assembly_md": x04_page_assembly_md,
         "x05_validation_report": x05_validation_report,
         "p04_page_range": p04_page_range,
+        "t07_structured_output": t07_structured_output,
     }
 
 
@@ -864,6 +895,43 @@ def oracle_sql() -> dict[str, str]:
             select url, page_no, length(markdown) as n_md
             from read_parquet('{_XCACHE_PAGES}/*.parquet')
             where page_no between 2 and 3
+        """,
+        "t07_structured_output": f"""
+            with d as (
+              select url, markdown || chr(10) as md
+              from read_parquet('{_XCACHE_DOCS}/*.parquet')
+              where error is null
+            ),
+            b as (
+              select url,
+                     regexp_extract(md, '(?m)((?:^\\|.*\\n)+)', 1) as block
+              from d
+            ),
+            l as (
+              select url,
+                     [x for x in string_split(block, chr(10))
+                      if substr(x, 1, 1) = '|'] as lines
+              from b
+            ),
+            e as (
+              select url, unnest(lines) as ln,
+                     generate_subscripts(lines, 1) as i
+              from l
+            ),
+            c as (
+              -- inner cells only: '|a|b|' splits to ['','a','b','']; slice
+              -- off the border empties so a missing column is NULL (out of
+              -- range), matching Spark's slice+get, not ''
+              select url, i,
+                     list_slice(string_split(ln, '|'), 2,
+                                len(string_split(ln, '|')) - 1) as cells
+              from e where i >= 3
+            )
+            select url, i - 3 as row_no,
+                   trim(cells[1]) as c1,
+                   trim(cells[2]) as c2,
+                   trim(cells[3]) as c3
+            from c
         """,
         "s02_knn_sample": """
             with q as (

@@ -92,6 +92,32 @@ def test_expression_signature_variants(spark, docs):
 
 
 @pytest.mark.spark
+def test_structured_output_typed_columns(spark):
+    """T4: a user DDL schema over the first markdown pipe table yields
+    typed columns (Invoice/LineItem shape, reference README.md:127-156);
+    non-numeric cells under a numeric field become NULL, not task errors;
+    second tables and docs without tables are ignored."""
+    from docvision_spark.functions.structured import with_structured
+
+    md1 = ("# Invoice\n\n"
+           "| Item   | Qty | Price |\n"
+           "| ------ | --- | ----- |\n"
+           "| widget | 2   | 9.50  |\n"
+           "| gadget | x   | 3.25  |\n\n"
+           "ignored\n\n"
+           "| Other |\n| --- |\n| second table |\n")
+    md2 = "no tables here"
+    df = spark.createDataFrame([("u1", md1), ("u2", md2)], "url string, markdown string")
+    out = with_structured(df, "c1 string, c2 int, c3 double")
+    rows = {(r["url"], r["row_no"]): (r["c1"], r["c2"], r["c3"])
+            for r in out.collect()}
+    assert rows == {
+        ("u1", 0): ("widget", 2, 9.50),
+        ("u1", 1): ("gadget", None, 3.25),   # 'x' fails the INT cast -> NULL
+    }
+    assert dict(out.dtypes)["c2"] == "int" and dict(out.dtypes)["c3"] == "double"
+
+
 def test_lang_id_zh_cjk_ratio(spark):
     """zh is detected by CJK codepoint ratio (stopwords can't work for an
     unsegmented script); latin-script langs still go through stopword argmax;
@@ -156,6 +182,39 @@ def test_similarity_lsh_recall_vs_bruteforce(spark):
 
 
 @pytest.mark.spark
+def test_lsh_index_partition_pruned_probe(spark, tmp_path):
+    """The write-time signature table makes the ANN probe a partition-pruned
+    scan (visible in the plan), and the probe returns exactly what the
+    in-memory signature scan returns (same signatures, same Hamming ball)."""
+    import random
+
+    from docvision_spark.functions.similarity import (
+        lsh_index_topk, lsh_index_write, lsh_topk)
+    from tests.test_plans import plan_of
+
+    rng = random.Random(11)
+    dim = 16
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(4)]
+    rows = []
+    for i in range(200):
+        c = centers[i % 4]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    path = str(tmp_path / "lsh_index")
+    lsh_index_write(emb, path)
+    q = rows[0][1]
+    via_index = lsh_index_topk(spark, path, q, k=10, exclude_id=0)
+
+    plan = plan_of(via_index)
+    assert "PartitionFilters" in plan and "sig_prefix" in plan, plan
+
+    got = [(r["vec_id"], round(r["score"], 6)) for r in via_index.collect()]
+    want = [(r["vec_id"], round(r["score"], 6))
+            for r in lsh_topk(emb, q, k=10, exclude_id=0).collect()]
+    assert got == want and len(got) > 0
+
+
 def test_ivf_recall_on_clusters(spark):
     """IVF with nprobe=2 of 8 centroids recovers the true neighbors on
     clustered data (same fixture rationale as the LSH test)."""
