@@ -1,14 +1,21 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
-with typed metadata, processed in Arrow-batched mapInPandas stages.
+"""Multimodal columns: image/audio/video as opaque binary columns with typed
+metadata, processed in Arrow-batched mapInPandas stages.
 
-The decode step is STUBBED (no image/audio libs in this container): a
-clearly-marked deterministic fake parses a tiny header we define, so the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape — is
-real and tested. Swapping the stub for cv2/PIL/ffmpeg changes ONE function.
+IMAGE decode is REAL: a from-scratch numpy+zlib codec
+(kernel/image_codec.py) decodes PNG/BMP/PNM, computes luma statistics and
+perceptual hashes (aHash/dHash), and re-encodes resized thumbnails — the
+pure-Python analogue of the reference's cv2.imread + adaptive-resize path
+(reference: src/docvision/core/parser.py:554-563, processing/image.py:351-366).
+AUDIO/VIDEO decode stays a declared stub (no ffmpeg/soundfile in this
+container): a deterministic DVSM fake header carries dims/frames so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape,
+error rows — is real and tested for those kinds too. Swapping the stub for
+pyav/soundfile changes ONE function (_decode_av_stub).
 
-Reference ancestors: _load_image/cv2.imread (core/parser.py:554-563),
-pdf_to_images rasterizer (processing/image.py:62-108), adaptive resize
-(processing/image.py:351-366).
+Scale shape: decode runs inside mapInPandas (Arrow batches, no per-row
+Python round-trips through the JVM); near-dup pairing is a banded hamming
+join on the 64-bit dhash — candidates only ever share a 16-bit band, never
+an all-pairs cross join.
 """
 
 from __future__ import annotations
@@ -16,8 +23,10 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType, DoubleType, IntegerType, LongType, StringType,
     StructField, StructType,
@@ -32,38 +41,67 @@ MEDIA_SCHEMA = StructType([
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
+    StructField("format", StringType()),    # png | bmp | pnm | dvsm-fake
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("n_frames", IntegerType()),
     StructField("duration_s", DoubleType()),
     StructField("bytes_in", LongType()),
+    StructField("mean_luma", DoubleType()),
+    StructField("std_luma", DoubleType()),
+    StructField("ahash", LongType()),
+    StructField("dhash", LongType()),
     StructField("feature_hash", StringType()),
     StructField("error", StringType()),
 ])
 
-# our synthetic media header: b"DVSM" + kind(1B) + width(4B) + height(4B) + frames(4B)
+# synthetic AV header for the audio/video stub:
+# b"DVSM" + kind(1B) + width(4B) + height(4B) + frames(4B)
 _MAGIC = b"DVSM"
 _KINDS = {0: "image", 1: "audio", 2: "video"}
 
 
 def make_fake_media(media_id: int, kind: str, width: int, height: int, frames: int) -> bytes:
-    """Deterministic fake payload for tests/bench (stands in for real bytes)."""
+    """Deterministic fake AV payload for tests/bench (no ffmpeg available)."""
     kcode = {v: k for k, v in _KINDS.items()}[kind]
     body = (media_id.to_bytes(8, "big") * max(1, (width * height) // 256))[:4096]
     return _MAGIC + struct.pack(">BIII", kcode, width, height, frames) + body
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """STUB decoder. Real implementation would be cv2.imdecode / soundfile /
-    pyav frame sampling; none of those libs exist in this container, so we
-    parse the deterministic fake header instead. Raises on foreign bytes —
-    the caller converts that to an error row.
-    """
+def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
+                         noise: int = 0, fmt: str = "png") -> bytes:
+    """Deterministic synthetic RGB image from an integer seed: a seeded
+    smooth gradient + block pattern. Same seed -> byte-identical image;
+    `noise` perturbs pixels by <= noise levels (for planting near-dups
+    that perceptual hashes should still match)."""
+    from docvision_spark.kernel.image_codec import encode_png
+
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    base = rng.integers(0, 256, size=3, dtype=np.int32)
+    yy = np.arange(height)[:, None, None]
+    xx = np.arange(width)[None, :, None]
+    grad = (base[None, None, :] + 2 * yy + 3 * xx) % 256
+    blocks = rng.integers(0, 256, size=(max(1, height // 8), max(1, width // 8), 3))
+    pattern = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:height, :width]
+    img = ((grad + pattern) // 2).astype(np.int32)
+    if noise:
+        img = img + rng.integers(-noise, noise + 1, size=img.shape)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    if fmt == "png":
+        return encode_png(img)
+    if fmt == "pnm":
+        return b"P6 %d %d 255\n" % (width, height) + img.tobytes()
+    raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
+
+
+def _decode_av_stub(payload: bytes) -> dict:
+    """STUB decoder for audio/video (real impl would be soundfile / pyav
+    frame sampling; neither lib exists in this container). Parses the
+    deterministic DVSM fake header; raises on foreign bytes."""
     if payload[:4] != _MAGIC:
         raise NotImplementedError(
-            "real media decoding not available in this environment; "
-            "payload is not a DVSM fake"
-        )
+            "audio/video decoding not available in this environment; "
+            "payload is not a DVSM fake")
     kcode, w, h, frames = struct.unpack(">BIII", payload[4:17])
     return {"kind": _KINDS.get(kcode, "unknown"), "width": w, "height": h,
             "n_frames": frames}
@@ -72,8 +110,10 @@ def _decode_stub(payload: bytes) -> dict:
 def extract_media_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary media payloads.
 
-    The plumbing is the deliverable: Arrow batches in, typed feature rows
-    out, per-row errors captured as a column (no task failure).
+    Images decode for real (PNG/BMP/PNM via kernel/image_codec) into dims,
+    luma mean/std, and aHash/dHash perceptual hashes. Audio/video parse the
+    DVSM stub header. Per-row errors land in an `error` column — a corrupt
+    payload never fails the task.
     """
     from docvision_spark.pipeline.shipping import ensure_py_files
 
@@ -82,24 +122,167 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from docvision_spark.kernel.image_codec import (
+            ahash64, decode_image, dhash64, luma_stats)
+
         for pdf in it:
             out = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                row = {"media_id": int(mid), "kind": kind, "width": None,
-                       "height": None, "n_frames": None, "duration_s": None,
+                row = {"media_id": int(mid), "kind": kind, "format": None,
+                       "width": None, "height": None, "n_frames": None,
+                       "duration_s": None,
                        "bytes_in": len(payload) if payload is not None else 0,
+                       "mean_luma": None, "std_luma": None,
+                       "ahash": None, "dhash": None,
                        "feature_hash": None, "error": None}
                 try:
-                    meta = _decode_stub(payload)
-                    row.update(
-                        kind=meta["kind"], width=meta["width"], height=meta["height"],
-                        n_frames=meta["n_frames"],
-                        duration_s=round(meta["n_frames"] / 25.0, 3) if meta["kind"] != "image" else 0.0,
-                        feature_hash=hashlib.sha3_256(payload).hexdigest()[:16],
-                    )
+                    payload = bytes(payload) if payload is not None else b""
+                    if payload[:4] == _MAGIC:
+                        meta = _decode_av_stub(payload)
+                        row.update(
+                            kind=meta["kind"], format="dvsm-fake",
+                            width=meta["width"], height=meta["height"],
+                            n_frames=meta["n_frames"],
+                            duration_s=(round(meta["n_frames"] / 25.0, 3)
+                                        if meta["kind"] != "image" else 0.0),
+                        )
+                    else:
+                        rgb, fmt = decode_image(payload)
+                        mean_l, std_l = luma_stats(rgb)
+                        row.update(
+                            kind="image", format=fmt,
+                            width=rgb.shape[1], height=rgb.shape[0],
+                            n_frames=1, duration_s=0.0,
+                            mean_luma=mean_l, std_luma=std_l,
+                            ahash=ahash64(rgb), dhash=dhash64(rgb),
+                        )
+                    row["feature_hash"] = hashlib.sha3_256(payload).hexdigest()[:16]
                 except Exception as e:  # noqa: BLE001
                     row["error"] = f"{type(e).__name__}: {e}"[:200]
                 out.append(row)
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
+
+
+THUMB_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("thumb", BinaryType()),
+    StructField("thumb_w", IntegerType()),
+    StructField("thumb_h", IntegerType()),
+    StructField("error", StringType()),
+])
+
+
+def resize_images(df: DataFrame, max_side: int = 16) -> DataFrame:
+    """Adaptive thumbnail stage: decode -> bilinear resize so the longest
+    side is `max_side` (never upscales) -> re-encode PNG. Mirrors the
+    reference's adaptive resize (processing/image.py:351-366) as an
+    Arrow-batched mapInPandas stage."""
+    from docvision_spark.pipeline.shipping import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from docvision_spark.kernel.image_codec import (
+            decode_image, encode_png, resize_bilinear)
+
+        for pdf in it:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                row = {"media_id": int(mid), "thumb": None,
+                       "thumb_w": None, "thumb_h": None, "error": None}
+                try:
+                    rgb, _ = decode_image(bytes(payload))
+                    h, w = rgb.shape[:2]
+                    scale = max_side / max(h, w)
+                    if scale < 1.0:
+                        tw = max(1, int(round(w * scale)))
+                        th = max(1, int(round(h * scale)))
+                        rgb = resize_bilinear(rgb, tw, th)
+                    row.update(thumb=encode_png(rgb), thumb_w=rgb.shape[1],
+                               thumb_h=rgb.shape[0])
+                except Exception as e:  # noqa: BLE001
+                    row["error"] = f"{type(e).__name__}: {e}"[:200]
+                out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in THUMB_SCHEMA.fields])
+
+    return df.mapInPandas(fn, schema=THUMB_SCHEMA)
+
+
+def image_dup_pairs(features: DataFrame, max_hamming: int = 6,
+                    n_bands: int = 8) -> DataFrame:
+    """Near-duplicate image pairs by dHash hamming distance.
+
+    Scale shape (same family as simhash_pairs): split the 64-bit dhash into
+    n_bands equal bands; by pigeonhole, any pair with hamming < n_bands
+    agrees exactly on >= 1 band, so recall is COMPLETE whenever
+    max_hamming < n_bands (the default 6 < 8 qualifies — this is what lets
+    the O(n^2) SQL oracle match exactly). The join key is
+    (band_idx, band_value) — candidates share a band, the exact bit_count
+    verify runs on candidates only. Never an all-pairs join. Band width is
+    the scale knob: fewer/wider bands (e.g. 4x16-bit) give colder buckets
+    at petabyte scale at the cost of guaranteed-recall radius.
+
+    Input: output of extract_media_features (needs media_id + dhash).
+    Output: (id_a, id_b, hamming:int) with id_a < id_b.
+    """
+    if not 64 % n_bands == 0:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    sig = features.filter(F.col("dhash").isNotNull()) \
+                  .select(F.col("media_id").alias("id"), "dhash")
+    bands = sig.select(
+        "id", "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("dhash", width * i).bitwiseAND(F.lit(mask)).alias("bkey"),
+            ) for i in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", "dhash", "bb.band", "bb.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bkey"]).filter(F.col("a.id") < F.col("b.id"))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                 F.col("a.dhash").alias("h_a"), F.col("b.dhash").alias("h_b"))
+         .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic synthetic media table keyed by an integer id column:
+    mostly real PNG/PNM images (varying sizes), planted near-dup twins
+    (id % 17 == 1 re-renders id-1's image with pixel noise <= 3), and a
+    sprinkle of DVSM audio/video stub rows (id % 23 in (0, 1)). Generation
+    runs distributed inside mapInPandas — no driver-side loop."""
+    from docvision_spark.pipeline.shipping import ensure_py_files
+
+    ensure_py_files(df.sparkSession)
+    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                if mid % 23 == 0:
+                    kind, payload = "audio", make_fake_media(mid, "audio", 0, 0, 44100)
+                elif mid % 23 == 1:
+                    kind, payload = "video", make_fake_media(mid, "video", 320, 240, 25 * (1 + mid % 9))
+                else:
+                    kind = "image"
+                    seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)
+                    w = 32 + (seed % 4) * 16
+                    h = 24 + (seed % 3) * 8
+                    fmt = "pnm" if mid % 11 == 0 else "png"
+                    payload = make_synthetic_image(seed, w, h, noise=noise, fmt=fmt)
+                out.append({"media_id": mid, "kind": kind, "payload": payload})
+            yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])
+
+    return ids.mapInPandas(fn, schema=MEDIA_SCHEMA)

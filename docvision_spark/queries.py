@@ -531,6 +531,72 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
         out.filter(F.col("error").isNull()), "c1 string, c2 string, c3 string")
 
 
+# Media-feature cache: like _XCACHE, the m-query oracles aggregate a
+# materialized twin of the live-computed feature rows (the image codec
+# itself is unit-gated by tests/test_image_codec.py), so each check is an
+# aggregation-parity check plus a cross-run determinism check on the codec.
+_MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
+_MCACHE_REV = 1
+
+
+def _media_features(spark: SparkSession, sf: str):
+    from docvision_spark.functions.multimodal import (
+        extract_media_features, synthesize_media)
+
+    docs = load(spark, sf, "documents").select("doc_id")
+    return extract_media_features(synthesize_media(docs))
+
+
+def _mcache(spark: SparkSession, sf: str) -> None:
+    import json
+
+    tier = os.path.basename(os.path.normpath(sf)) or "sf0.001"
+    marker = os.path.join(_XCACHE_DIR, "_media.json")
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                meta = json.load(fh)
+            if (meta.get("tier") == tier and meta.get("rev") == _MCACHE_REV
+                    and os.path.exists(_MCACHE)):
+                return
+        except (OSError, ValueError):
+            pass
+    _media_features(spark, sf).write.mode("overwrite").parquet(_MCACHE)
+    os.makedirs(_XCACHE_DIR, exist_ok=True)
+    with open(marker, "w") as fh:
+        json.dump({"tier": tier, "rev": _MCACHE_REV}, fh)
+
+
+def m01_image_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal decode stats: synthetic PNG/PNM images + AV stub rows ->
+    real numpy codec decode (kernel/image_codec.py) -> per-(kind, format)
+    rollup. Aggregates chosen to be bit-stable across engines: counts,
+    integer sums, min/max of stored doubles (no float re-summation)."""
+    _mcache(spark, sf)
+    feats = _media_features(spark, sf)
+    return (
+        feats.groupBy("kind", "format")
+             .agg(F.count("*").alias("n"),
+                  F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
+                  F.sum("width").cast("long").alias("sum_w"),
+                  F.sum("height").cast("long").alias("sum_h"),
+                  F.countDistinct("dhash").alias("n_dhash"),
+                  F.coalesce(F.min("mean_luma"), F.lit(-1.0)).alias("min_luma"),
+                  F.coalesce(F.max("mean_luma"), F.lit(-1.0)).alias("max_luma"))
+    )
+
+
+def m02_image_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual near-dup image pairs: dHash banded hamming join
+    (8 bands -> complete recall at hamming <= 6, so the O(n^2) SQL oracle
+    matches exactly). Twins are planted by synthesize_media (id%17==1)."""
+    from docvision_spark.functions.multimodal import image_dup_pairs
+
+    _mcache(spark, sf)
+    feats = _media_features(spark, sf)
+    return image_dup_pairs(feats, max_hamming=6, n_bands=8)
+
+
 def x02_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
     from docvision_spark.pipeline.extract_job import extract_pages, read_pages
 
@@ -587,6 +653,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x05_validation_report": x05_validation_report,
         "p04_page_range": p04_page_range,
         "t07_structured_output": t07_structured_output,
+        "m01_image_features": m01_image_features,
+        "m02_image_dups": m02_image_dups,
     }
 
 
@@ -932,6 +1000,28 @@ def oracle_sql() -> dict[str, str]:
                    trim(cells[2]) as c2,
                    trim(cells[3]) as c3
             from c
+        """,
+        "m01_image_features": f"""
+            select kind, format, count(*) as n,
+                   sum(case when error is not null then 1 else 0 end)::bigint as n_errors,
+                   sum(width)::bigint as sum_w,
+                   sum(height)::bigint as sum_h,
+                   count(distinct dhash) as n_dhash,
+                   coalesce(min(mean_luma), -1.0) as min_luma,
+                   coalesce(max(mean_luma), -1.0) as max_luma
+            from read_parquet('{_MCACHE}/*.parquet')
+            group by kind, format
+        """,
+        "m02_image_dups": f"""
+            with s as (
+              select media_id, dhash
+              from read_parquet('{_MCACHE}/*.parquet')
+              where dhash is not null
+            )
+            select a.media_id as id_a, b.media_id as id_b,
+                   bit_count(xor(a.dhash, b.dhash))::int as hamming
+            from s a join s b on a.media_id < b.media_id
+            where bit_count(xor(a.dhash, b.dhash)) <= 6
         """,
         "s02_knn_sample": """
             with q as (

@@ -318,17 +318,21 @@ def test_cosine_score_matches_duckdb(spark):
 @pytest.mark.spark
 def test_multimodal_plumbing(spark):
     from docvision_spark.functions.multimodal import (
-        MEDIA_SCHEMA, extract_media_features, make_fake_media)
+        MEDIA_SCHEMA, extract_media_features, make_fake_media,
+        make_synthetic_image)
 
     rows = [
         (1, "image", make_fake_media(1, "image", 640, 480, 1)),
         (2, "video", make_fake_media(2, "video", 1280, 720, 250)),
         (3, "audio", make_fake_media(3, "audio", 0, 0, 44100)),
         (4, "image", b"\x89PNG\r\n not really decodable here"),
+        (5, "image", make_synthetic_image(5, 40, 24)),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in extract_media_features(df).collect()}
     assert out[1]["width"] == 640 and out[1]["height"] == 480
     assert out[2]["n_frames"] == 250 and out[2]["duration_s"] == 10.0
-    assert out[4]["error"] and "NotImplementedError" in out[4]["error"]
+    assert out[4]["error"] and "ImageDecodeError" in out[4]["error"]
+    assert out[5]["format"] == "png" and out[5]["width"] == 40
+    assert out[5]["dhash"] is not None and out[5]["error"] is None
     assert out[1]["feature_hash"] and out[1]["error"] is None

@@ -1,0 +1,232 @@
+"""Image codec correctness: PNG/BMP/PNM roundtrips (all PNG filters),
+resize determinism, perceptual-hash invariants, and the Spark-side
+multimodal operators (features, thumbnails, near-dup pairs)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from docvision_spark.kernel.image_codec import (
+    ImageDecodeError, ahash64, decode_bmp, decode_image, decode_png,
+    decode_pnm, dhash64, encode_png, luma_stats, resize_bilinear,
+    resize_nearest, to_gray,
+)
+
+RNG = np.random.default_rng(2026)
+
+
+def _rand(shape):
+    return RNG.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+# ------------------------------------------------------------------- PNG ----
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(11, 7), (11, 7, 3), (11, 7, 4)])
+def test_png_roundtrip_all_filters(filter_type, shape):
+    arr = _rand(shape)
+    dec = decode_png(encode_png(arr, filter_type=filter_type))
+    if arr.ndim == 2:
+        exp = np.repeat(arr[:, :, None], 3, axis=2)
+    elif arr.shape[2] == 4:
+        exp = arr[:, :, :3]
+    else:
+        exp = arr
+    assert dec.shape == exp.shape and (dec == exp).all()
+
+
+def test_png_1x1_and_wide():
+    for shape in [(1, 1, 3), (1, 300, 3), (300, 1, 3)]:
+        arr = _rand(shape)
+        assert (decode_png(encode_png(arr)) == arr).all()
+
+
+def test_png_palette():
+    # hand-build a palette (color type 3) PNG: 2x2, 3 palette entries
+    import zlib
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = b"\x00" + bytes([0, 1]) + b"\x00" + bytes([2, 0])  # 2 rows, filter 0
+    from docvision_spark.kernel.image_codec import PNG_SIG, _chunk
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", pal)
+           + _chunk(b"IDAT", zlib.compress(idx))
+           + _chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[0, 0]) == (255, 0, 0) and tuple(out[0, 1]) == (0, 255, 0)
+    assert tuple(out[1, 0]) == (0, 0, 255)
+
+
+def test_png_rejects_garbage_and_truncation():
+    with pytest.raises(ImageDecodeError):
+        decode_png(b"\x89PNG\r\n\x1a\n garbage after signature")
+    good = encode_png(_rand((8, 8, 3)))
+    with pytest.raises(ImageDecodeError):
+        decode_png(good[:40])
+
+
+# ------------------------------------------------------------------- BMP ----
+
+def _make_bmp(img: np.ndarray, topdown: bool = False, bpp: int = 24) -> bytes:
+    h, w = img.shape[:2]
+    nb = bpp // 8
+    stride = (w * nb + 3) & ~3
+    rows = b""
+    order = range(h) if topdown else range(h - 1, -1, -1)
+    for y in order:
+        if bpp == 24:
+            row = img[y][:, [2, 1, 0]].tobytes()
+        else:  # 32: BGRA
+            bgra = np.concatenate(
+                [img[y][:, [2, 1, 0]], np.full((w, 1), 255, np.uint8)], axis=1)
+            row = bgra.tobytes()
+        rows += row + b"\x00" * (stride - len(row))
+    hh = -h if topdown else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hh, 1, bpp, 0, len(rows),
+                       2835, 2835, 0, 0)
+    return (b"BM" + struct.pack("<IHHI", 14 + 40 + len(rows), 0, 0, 54)
+            + info + rows)
+
+
+@pytest.mark.parametrize("topdown", [False, True])
+@pytest.mark.parametrize("bpp", [24, 32])
+def test_bmp_roundtrip(topdown, bpp):
+    img = _rand((5, 7, 3))
+    assert (decode_bmp(_make_bmp(img, topdown=topdown, bpp=bpp)) == img).all()
+
+
+def test_bmp_rejects_bad():
+    with pytest.raises(ImageDecodeError):
+        decode_bmp(b"BM" + b"\x00" * 60)  # bpp 0
+    with pytest.raises(ImageDecodeError):
+        decode_bmp(b"notbmp")
+
+
+# ------------------------------------------------------------------- PNM ----
+
+def test_pnm_gray_and_rgb_with_comments():
+    gray = _rand((4, 6))
+    p5 = b"P5\n# a comment\n6 4\n255\n" + gray.tobytes()
+    assert (decode_pnm(p5) == np.repeat(gray[:, :, None], 3, 2)).all()
+    rgb = _rand((3, 5, 3))
+    assert (decode_pnm(b"P6 5 3 255\n" + rgb.tobytes()) == rgb).all()
+    with pytest.raises(ImageDecodeError):
+        decode_pnm(b"P6 5 3 255\n" + rgb.tobytes()[:-1])  # truncated
+
+
+def test_decode_image_dispatch():
+    img = _rand((6, 6, 3))
+    assert decode_image(encode_png(img))[1] == "png"
+    assert decode_image(_make_bmp(img))[1] == "bmp"
+    assert decode_image(b"P6 6 6 255\n" + img.tobytes())[1] == "pnm"
+    with pytest.raises(ImageDecodeError):
+        decode_image(b"GIF89a not supported")
+
+
+# ------------------------------------------------------------- transforms ---
+
+def test_to_gray_bt601_integer():
+    rgb = np.zeros((1, 3, 3), np.uint8)
+    rgb[0, 0] = (255, 0, 0)
+    rgb[0, 1] = (0, 255, 0)
+    rgb[0, 2] = (0, 0, 255)
+    g = to_gray(rgb)
+    assert g[0, 0] == 255 * 299 // 1000
+    assert g[0, 1] == 255 * 587 // 1000
+    assert g[0, 2] == 255 * 114 // 1000
+
+
+def test_resize_identity_and_downscale():
+    img = _rand((16, 16, 3))
+    assert (resize_bilinear(img, 16, 16) == img).all()
+    assert (resize_nearest(img, 16, 16) == img).all()
+    small = resize_bilinear(img, 4, 4)
+    assert small.shape == (4, 4, 3)
+    # 2x constant image stays constant under any resize
+    const = np.full((10, 10, 3), 77, np.uint8)
+    assert (resize_bilinear(const, 3, 7) == 77).all()
+
+
+def test_resize_deterministic_across_calls():
+    img = _rand((33, 21, 3))
+    a = resize_bilinear(img, 8, 8)
+    b = resize_bilinear(img.copy(), 8, 8)
+    assert (a == b).all()
+
+
+# ------------------------------------------------------------------ hashes --
+
+def test_perceptual_hash_invariants():
+    from docvision_spark.functions.multimodal import make_synthetic_image
+
+    img_bytes = make_synthetic_image(42, 64, 48)
+    rgb, _ = decode_image(img_bytes)
+    d0, a0 = dhash64(rgb), ahash64(rgb)
+    assert -(1 << 63) <= d0 < (1 << 63)  # signed-long range (Spark LongType)
+
+    # same seed re-synthesized -> identical bytes, identical hashes
+    rgb2, _ = decode_image(make_synthetic_image(42, 64, 48))
+    assert dhash64(rgb2) == d0 and ahash64(rgb2) == a0
+
+    # small noise -> small dhash hamming; different seed -> large
+    noisy, _ = decode_image(make_synthetic_image(42, 64, 48, noise=4))
+    other, _ = decode_image(make_synthetic_image(43, 64, 48))
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(d0, dhash64(noisy)) <= 8
+    assert ham(d0, dhash64(other)) >= 12
+
+
+def test_luma_stats_rounding():
+    const = np.full((4, 4, 3), 100, np.uint8)
+    mean, std = luma_stats(const)
+    assert mean == 100.0 and std == 0.0  # (299+587+114)*100//1000 = 100
+
+
+# ---------------------------------------------------------------- Spark -----
+
+@pytest.mark.spark
+def test_media_features_and_thumbnails(spark):
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features, make_synthetic_image,
+        resize_images)
+
+    rows = [(i, "image", make_synthetic_image(i, 48, 32)) for i in range(8)]
+    rows.append((99, "image", b"\xff\xd8 jpeg unsupported"))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    for i in range(8):
+        assert feats[i]["format"] == "png"
+        assert feats[i]["width"] == 48 and feats[i]["height"] == 32
+        assert feats[i]["mean_luma"] is not None and feats[i]["dhash"] is not None
+    assert feats[99]["error"] and "ImageDecodeError" in feats[99]["error"]
+
+    thumbs = {r["media_id"]: r for r in resize_images(df, max_side=16).collect()}
+    assert thumbs[0]["thumb_w"] == 16 and thumbs[0]["thumb_h"] == 11
+    rgb, fmt = decode_image(bytes(thumbs[0]["thumb"]))
+    assert fmt == "png" and rgb.shape == (11, 16, 3)
+    assert thumbs[99]["error"] is not None
+
+
+@pytest.mark.spark
+def test_image_dup_pairs_planted(spark):
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features, image_dup_pairs,
+        make_synthetic_image)
+
+    rows = [(i, "image", make_synthetic_image(i, 64, 48)) for i in range(10)]
+    # plant near-dups: 100/101 are noisy twins of 0 and 1
+    rows.append((100, "image", make_synthetic_image(0, 64, 48, noise=3)))
+    rows.append((101, "image", make_synthetic_image(1, 64, 48, noise=3)))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_media_features(df)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in image_dup_pairs(feats, max_hamming=8).collect()}
+    assert (0, 100) in pairs and (1, 101) in pairs
+    # distinct-seed images must NOT pair
+    for (a, b) in pairs:
+        assert (a, b) in ((0, 100), (1, 101)), f"false positive pair {(a, b)}"
