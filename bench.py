@@ -36,6 +36,7 @@ HEADLINE = [
     "t01_token_stats", "t02_quality", "t03_langid", "t05_exact_dedup",
     "d01_minhash_pairs", "d02_simhash_pairs", "d04_winnow_fingerprints",
     "s01_topk_cosine", "s02_knn_sample",
+    "m02_image_dups",
 ]
 
 

@@ -289,7 +289,9 @@ def ivf_build(
         means = (
             assign.join(base, "id")
                   .select("cid", F.posexplode("u").alias("d", "x"))
-                  .groupBy("cid", "d").agg(F.avg("x").alias("m"))
+                  # round the float mean so partial-agg order can never
+                  # drift centroids between otherwise-identical runs
+                  .groupBy("cid", "d").agg(F.round(F.avg("x"), 9).alias("m"))
                   .groupBy("cid")
                   .agg(F.array_sort(F.collect_list(F.struct("d", "m"))).alias("dm"))
                   .select("cid", F.transform("dm", lambda s: s["m"]).alias("c"))

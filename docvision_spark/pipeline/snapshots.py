@@ -77,6 +77,15 @@ def commit(table_dir: str, staging: str, data_dir: str, row_count: int) -> str:
         "row_count_delta": row_count,
         "files": (prev["files"] if prev else []) + moved,
     }
+    # immutable per-snapshot manifest (Iceberg metadata-log analogue) —
+    # written BEFORE the current-pointer flip so history is never ahead of
+    # the published state; enables time-travel reads (read_table(as_of=...))
+    log_dir = os.path.join(table_dir, "snapshots")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir,
+                           f"{manifest['sequence']:06d}-{snapshot_id}.json"),
+              "w") as f:
+        json.dump(manifest, f, indent=1)
     tmp = _manifest_path(table_dir) + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
@@ -95,8 +104,35 @@ def committed_urls(spark: SparkSession, table_dir: str) -> DataFrame | None:
     return spark.read.option("basePath", data_dir).parquet(*paths).select("url")
 
 
-def read_table(spark: SparkSession, table_dir: str) -> DataFrame | None:
-    m = read_manifest(table_dir)
+def snapshot_log(table_dir: str) -> list[dict]:
+    """All committed snapshots, oldest first (Iceberg history analogue)."""
+    log_dir = os.path.join(table_dir, "snapshots")
+    if not os.path.isdir(log_dir):
+        return []
+    out = []
+    for fn in sorted(os.listdir(log_dir)):
+        if fn.endswith(".json"):
+            with open(os.path.join(log_dir, fn)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def read_table(spark: SparkSession, table_dir: str,
+               as_of: str | int | None = None) -> DataFrame | None:
+    """Read the table at the current snapshot, or time-travel to a past one.
+
+    as_of accepts a snapshot_id (str) or a sequence number (int). A
+    snapshot's file list is immutable once written, so a time-travel read is
+    just a scan of exactly those files — same as Iceberg's
+    `VERSION AS OF`. Raises KeyError for an unknown snapshot.
+    """
+    if as_of is None:
+        m = read_manifest(table_dir)
+    else:
+        key = "sequence" if isinstance(as_of, int) else "snapshot_id"
+        m = next((s for s in snapshot_log(table_dir) if s[key] == as_of), None)
+        if m is None:
+            raise KeyError(f"no snapshot with {key}={as_of!r}")
     if not m or not m["files"]:
         return None
     data_dir = os.path.join(table_dir, "data")

@@ -1,0 +1,58 @@
+"""Streaming exact dedup: drop re-crawled duplicate pages as they arrive.
+
+The streaming twin of functions/dedup.exact_dedup (t05): the dedup key is
+the md5 of the whitespace-normalized text — identical content under a
+different url (mirror) or a re-crawl of the same url both collapse to one
+surviving row.
+
+Scale shape: dropDuplicatesWithinWatermark keeps ONE state entry per
+fingerprint and evicts it once the event-time watermark passes, so state is
+bounded by (dedup horizon x arrival rate), not by total corpus size — the
+only viable shape at 10^12 docs of continuous ingestion. A plain
+dropDuplicates on a stream would accrete unbounded state.
+
+Reference has no streaming; this extends the crawl-ingest surface
+(streaming/ingest.py) the same way t05 extends the batch surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from docvision_spark.functions.text import fingerprint_md5
+
+
+def dedup_pages_stream(pages: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Content-fingerprint dedup over a watermarked pages stream.
+
+    Emits the first-arriving row per fingerprint; later rows with the same
+    fingerprint are dropped while the state entry lives (until the
+    watermark passes its event time). Output keeps the full page row plus
+    the fingerprint column.
+    """
+    return (
+        pages.withWatermark("warc_ts", watermark)
+             .withColumn("fp", fingerprint_md5(F.col("text")))
+             .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+def start_dedup_query(
+    spark: SparkSession, pages_dir: str, out_dir: str, checkpoint_dir: str,
+    watermark: str = "1 day", available_now: bool = True,
+) -> StreamingQuery:
+    """Exactly-once deduplicated feed: parquet sink + checkpoint."""
+    from docvision_spark.streaming.ingest import read_pages_stream
+
+    out = dedup_pages_stream(read_pages_stream(spark, pages_dir), watermark)
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

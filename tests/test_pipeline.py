@@ -92,6 +92,18 @@ def test_resume_no_duplicates(spark, pages_dir, tmp_path):
     s3 = run_extract_job(spark, pages_dir, out_dir, partitions=4)
     assert s3["docs"] == 0
 
+    # time-travel (Iceberg VERSION AS OF analogue): the snapshot log keeps
+    # both commits; reading as-of the first shows only its 150 rows
+    log = snapshots.snapshot_log(out_dir)
+    assert [s["sequence"] for s in log] == [0, 1]
+    assert log[1]["parent_id"] == log[0]["snapshot_id"]
+    t0 = snapshots.read_table(spark, out_dir, as_of=log[0]["snapshot_id"])
+    assert t0.count() == 150
+    assert {r["url"] for r in t0.select("url").collect()} == half
+    assert snapshots.read_table(spark, out_dir, as_of=1).count() == 300
+    with pytest.raises(KeyError):
+        snapshots.read_table(spark, out_dir, as_of="does-not-exist")
+
 
 @pytest.mark.spark
 def test_crashed_staging_invisible(spark, pages_dir, tmp_path):

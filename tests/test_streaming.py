@@ -94,3 +94,61 @@ def test_crawl_rate_watermarked_agg(spark, pages_dir, tmp_path):
     hot = (agg.filter(F.col("host") == "bigportal.example.com")
            .agg(F.sum("n_docs")).collect()[0][0])
     assert 0.15 <= hot / tot <= 0.45
+
+
+@pytest.mark.spark
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Content-fingerprint dedup across micro-batches: duplicates planted in
+    LATER batches (re-crawls + mirrors within the watermark) must be dropped;
+    surviving fp set equals the batch dropDuplicates fp set."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docvision_spark.streaming.dedup import start_dedup_query
+
+    base = pd.Timestamp("2026-01-05 00:00:00")
+    rows = []
+    for i in range(20):  # 20 unique texts, 4 per file across 5 files
+        rows.append({"url": f"https://a.example.com/p{i}",
+                     "warc_ts": base + pd.Timedelta(minutes=i),
+                     "html": None, "text": f"unique document body {i}", "lang": "en"})
+    dups = []
+    for i in range(5):  # re-crawl (same url) + mirror (other url), same text
+        dups.append({"url": f"https://a.example.com/p{i}",
+                     "warc_ts": base + pd.Timedelta(hours=1, minutes=i),
+                     "html": None, "text": f"unique document body {i}", "lang": "en"})
+        dups.append({"url": f"https://mirror.example.org/p{i}",
+                     "warc_ts": base + pd.Timedelta(hours=2, minutes=i),
+                     "html": None, "text": f"unique document body {i}", "lang": "en"})
+
+    feed = tmp_path / "dedup_feed"
+    feed.mkdir()
+    now = time.time()
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    chunks = [rows[0:4], rows[4:8], rows[8:12], rows[12:16], rows[16:20], dups]
+    for i, chunk in enumerate(chunks):
+        p = str(feed / f"part-{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(chunk), schema=schema), p)
+        os.utime(p, (now + i, now + i))
+
+    out = str(tmp_path / "dedup_out")
+    q = start_dedup_query(spark, str(feed), out, str(tmp_path / "dedup_ckpt"),
+                          watermark="1 day")
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    assert got.count() == 20, "every duplicate within the watermark must drop"
+    assert got.select("fp").distinct().count() == 20
+    # survivors are the FIRST-arriving copies (original urls, not mirrors)
+    assert got.filter(F.col("url").contains("mirror")).count() == 0
+    # fp set parity with the batch twin
+    from docvision_spark.functions.text import fingerprint_md5
+    batch = spark.createDataFrame(pd.DataFrame(rows + dups), schema=got.drop("fp").schema)
+    batch_fps = {r["fp"] for r in batch.select(
+        fingerprint_md5(F.col("text")).alias("fp")).distinct().collect()}
+    assert {r["fp"] for r in got.select("fp").collect()} == batch_fps
