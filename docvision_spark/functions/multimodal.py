@@ -255,16 +255,26 @@ def image_dup_pairs(features: DataFrame, max_hamming: int = 6,
                 .select("id_a", "id_b", "hamming"))
 
 
-def synthesize_media(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synthesize_media(df: DataFrame, id_col: str = "doc_id",
+                     partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic media table keyed by an integer id column:
     mostly real PNG/PNM images (varying sizes), planted near-dup twins
     (id % 17 == 1 re-renders id-1's image with pixel noise <= 3), and a
     sprinkle of DVSM audio/video stub rows (id % 23 in (0, 1)). Generation
-    runs distributed inside mapInPandas — no driver-side loop."""
+    runs distributed inside mapInPandas — no driver-side loop.
+
+    The id column is explicitly repartitioned first: the doc table often
+    arrives as one parquet file -> 1-2 input splits, which would serialize
+    the (CPU-heavy) synth/decode python stage onto one core. Same fix any
+    decode-over-binary stage needs when upstream splits are coarse."""
     from docvision_spark.pipeline.shipping import ensure_py_files
 
-    ensure_py_files(df.sparkSession)
-    ids = df.select(F.col(id_col).cast("long").alias("media_id"))
+    spark = df.sparkSession
+    ensure_py_files(spark)
+    if partitions is None:
+        partitions = 2 * spark.sparkContext.defaultParallelism
+    ids = df.select(F.col(id_col).cast("long").alias("media_id")) \
+            .repartition(partitions, "media_id")
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

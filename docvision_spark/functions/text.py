@@ -33,6 +33,21 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# GPT-2-style subword segmentation, restricted to constructs whose matching
+# semantics are IDENTICAL in Java regex (Spark) and RE2 (DuckDB): ordered
+# alternation, no lookarounds. Contractions split off, letter runs, digit
+# runs capped at 3 (BPE numeric chunking), CJK one-char-per-token, then a
+# punctuation-run catch-all.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|[a-zA-Z]+|[0-9]{1,3}|[一-鿿]|[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_estimate(col: Column) -> Column:
+    """Approximate LLM token count: number of BPE_PATTERN matches.
+    Expression-only (regexp_count is JVM-side, codegen'd) — the cheap
+    pre-tokenizer pass a training-data pipeline runs on every document."""
+    return F.regexp_count(col, F.lit(BPE_PATTERN))
+
+
 def stopword_hits(col: Column, lang: str) -> Column:
     """Count of tokens (lowercased) that are in lang's stopword list."""
     words = LANG_STOPWORDS[lang]

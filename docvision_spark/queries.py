@@ -374,6 +374,19 @@ def t04_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp"))
 
 
+def t08_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """LLM-token budgeting: BPE-ish subword count per doc + the
+    tokens-per-whitespace-word expansion ratio (both engines compute the
+    identical regex — see text.BPE_PATTERN)."""
+    d = load(spark, sf, "documents")
+    n_bpe = text.bpe_token_estimate(F.col("text"))
+    n_ws = text.token_count(F.col("text"))
+    return d.select(
+        "doc_id", n_bpe.alias("n_bpe"),
+        F.round(F.when(n_ws > 0, n_bpe / n_ws).otherwise(F.lit(0.0)), 4)
+         .alias("expansion"))
+
+
 def t05_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return dedup.exact_dedup(d).select("fp", "doc_id", "n_copies")
@@ -684,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_langid": t03_langid,
         "t04_fingerprint": t04_fingerprint,
         "t05_exact_dedup": t05_exact_dedup,
+        "t08_bpe_tokens": t08_bpe_tokens,
         "d01_minhash_pairs": d01_minhash_pairs,
         "d02_simhash_pairs": d02_simhash_pairs,
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
@@ -932,6 +946,18 @@ def oracle_sql() -> dict[str, str]:
             select md5({norm}) as fp, min(doc_id) as doc_id,
                    count(*) as n_copies
             from documents group by 1
+        """,
+        "t08_bpe_tokens": f"""
+            with b as (
+              select doc_id,
+                     len(regexp_extract_all(text, '{text.BPE_PATTERN.replace(chr(39), chr(39) * 2)}')) as n_bpe,
+                     len({_tokens_sql('text')}) as n_ws
+              from documents
+            )
+            select doc_id, n_bpe::int as n_bpe,
+                   round(case when n_ws > 0 then n_bpe / n_ws else 0.0 end, 4)
+                     as expansion
+            from b
         """,
         "s01_topk_cosine": """
             with q as (select embedding::double[] as e from embeddings where vec_id = 0),
