@@ -98,3 +98,46 @@ def test_bucket_partition_pruning(spark, pages_dir):
     plan = plan_of(df)
     pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
     assert pf and "bucket" in pf[0], plan
+
+
+@pytest.mark.spark
+def test_image_dup_join_is_banded_not_cartesian(spark):
+    """m02's candidate join must key on (band, bkey) — a CartesianProduct or
+    BroadcastNestedLoopJoin here means the all-pairs scale bug crept in."""
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features, image_dup_pairs,
+        make_synthetic_image)
+
+    rows = [(i, "image", make_synthetic_image(i, 32, 24)) for i in range(6)]
+    feats = extract_media_features(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    plan = plan_of(image_dup_pairs(feats))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "bkey" in plan
+
+
+@pytest.mark.spark
+def test_bpe_tokens_stays_jvm_side(spark):
+    """t08 must be expression-only: a BatchEvalPython/ArrowEvalPython node
+    would mean the regex fell off codegen into per-row Python."""
+    from docvision_spark.queries import t08_bpe_tokens
+
+    plan = plan_of(t08_bpe_tokens(spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, plan
+    assert "MapInPandas" not in plan
+
+
+@pytest.mark.spark
+def test_media_synthesis_repartitions_before_decode(spark):
+    """The decode stage must not inherit a single-file input split: the
+    explicit hash repartition has to sit between the scan and MapInPandas
+    (this was a real 5x wall-clock bug at sf0.1)."""
+    from docvision_spark.functions.multimodal import synthesize_media
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = plan_of(synthesize_media(docs))
+    tree = plan.split("== Physical Plan ==", 1)[1].split("\n\n")[0]
+    assert tree.count("MapInPandas") == 1 and "Exchange" in tree, plan
+    # tree prints parent-first, so the exchange must appear BELOW (after)
+    # MapInPandas in text == execute BEFORE it
+    assert tree.find("MapInPandas") < tree.find("Exchange"), tree
