@@ -273,13 +273,47 @@ def simhash_signatures_agg(
     return per_doc.select("id", sig.alias("sh"))
 
 
+def simhash_signatures_expr(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """SimHash signatures with ZERO shuffle: each token hashed once, all 64
+    bit-counters accumulated in ONE aggregate() pass over the token-hash
+    array, entirely within the row's projection.
+
+    vs simhash_signatures_agg: the explode+groupBy variant shuffles 64 longs
+    per doc (cheap but nonzero, and the explode multiplies the row count by
+    tokens-per-doc through the map side); this variant keeps the whole
+    signature computation inside whole-stage codegen so the only shuffle in
+    simhash_pairs is the band self-join. Bit-exact with the other two
+    variants (parity-tested).
+    """
+    toks = F.split(F.trim(normalized(F.col(text_col))), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    staged = df.select(F.col(id_col).alias("id"),
+                       hashes.alias("_h"), F.size(toks).alias("_n"))
+    # the inner shift-by-lambda-var needs SQL form (the python F.shiftright
+    # wrapper only takes an int); `_h` is the Column-API-built hash array
+    counts = F.expr(
+        "aggregate(_h, array_repeat(0L, 64), "
+        "(acc, h) -> zip_with(acc, transform(sequence(0, 63), "
+        "i -> shiftright(h, i) & 1), (a, b) -> a + b))")
+    n = F.col("_n")
+    sig = F.lit(0).cast("long")
+    for k in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.element_at(counts, k + 1) * 2 > n,
+                   F.shiftleft(F.lit(1).cast("long"), k))
+            .otherwise(F.lit(0).cast("long")))
+    return staged.select("id", sig.alias("sh"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4 x 16-bit bands; any band equal
     -> candidate; verify Hamming distance <= max_hamming)."""
-    sig = simhash_signatures_agg(df, id_col, text_col)
+    sig = simhash_signatures_expr(df, id_col, text_col)
     banded = sig.select(
         "id", "sh",
         F.explode(F.array(*[

@@ -90,6 +90,13 @@ def test_expression_signature_variants(spark, docs):
            simhash_signatures_agg(docs).collect()}
     assert agg[1] == got[1]["sh"]                  # agg == expression variant
 
+    # the zero-shuffle single-pass variant must be bit-exact with BOTH, on
+    # every doc (it is what simhash_pairs runs in production)
+    from docvision_spark.functions.dedup import simhash_signatures_expr
+    expr_sigs = {r["id"]: r["sh"] for r in
+                 simhash_signatures_expr(docs).collect()}
+    assert expr_sigs == agg
+
 
 @pytest.mark.spark
 def test_structured_output_typed_columns(spark):
