@@ -137,6 +137,25 @@ def minhash_signatures_agg(
         "id", F.array(*[F.col(f"m{j}") for j in range(num_hashes)]).alias("mh"))
 
 
+def minhash_signatures_expr(
+    df: DataFrame, id_col: str, shingles_col: str, num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signatures with ZERO shuffle: one aggregate() pass over the
+    shingle array keeps a running-min accumulator of num_hashes longs —
+    each shingle hashed num_hashes times inside the row projection, no
+    explode, no groupBy. The shingle column is referenced exactly once, so
+    projection collapse cannot re-inline the shingling subtree (the failure
+    mode that motivated the explode+agg variant). Bit-exact with
+    minhash_signatures_agg (parity-tested). Returns (id, mh array<long>)."""
+    staged = df.select(F.col(id_col).alias("id"),
+                       F.col(shingles_col).alias("_sh"))
+    mh = F.expr(
+        f"aggregate(_sh, array_repeat(9223372036854775807L, {num_hashes}), "
+        f"(acc, s) -> zip_with(acc, transform(sequence(0, {num_hashes - 1}), "
+        f"j -> xxhash64(j, s)), (a, b) -> least(a, b)))")
+    return staged.select("id", mh.alias("mh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -164,7 +183,7 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         mk(F.col(text_col), shingle_k).alias("sh"),
     )
-    sig = minhash_signatures_agg(shingled, "id", "sh", num_hashes)
+    sig = minhash_signatures_expr(shingled, "id", "sh", num_hashes)
 
     # bands carry only (id, band, bkey) — never the shingle sets (an 8-way
     # band explode of 2000-element arrays would 8x the shuffle for nothing)
