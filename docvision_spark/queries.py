@@ -657,6 +657,34 @@ def m02_image_dups(spark: SparkSession, sf: str) -> DataFrame:
     return image_dup_pairs(feats, max_hamming=6, n_bands=8)
 
 
+def u01_url_canonical(spark: SparkSession, sf: str) -> DataFrame:
+    """URL-level dedup: every corpus url is doubled with a deterministically
+    messed-up variant (uppercase scheme + tracking params + fragment, or a
+    trailing slash, by length % 3); canonicalization must collapse each
+    variant back onto its original — n_canon == n_raw per host while
+    n_rows is doubled."""
+    from docvision_spark.functions.urls import canonical_url
+
+    _xcache(spark, sf)
+    docs = spark.read.parquet(_XCACHE_DOCS).select("url")
+    mod = F.length("url") % 3
+    messy = docs.select(
+        F.when(mod == 0,
+               F.concat(F.regexp_replace("url", r"^http://", "HTTP://"),
+                        F.lit("?utm_source=feed&fbclid=abc#top")))
+         .when(mod == 1, F.concat(F.col("url"), F.lit("/#frag")))
+         .otherwise(F.concat(F.col("url"), F.lit("?gclid=g"))).alias("url"))
+    both = docs.unionAll(messy)
+    canon = both.withColumn("curl", canonical_url(F.col("url")))
+    return (
+        canon.withColumn("host", F.regexp_extract("curl", r"^[a-z]+://([^/?]+)", 1))
+             .groupBy("host")
+             .agg(F.count("*").alias("n_rows"),
+                  F.countDistinct("url").alias("n_raw"),
+                  F.countDistinct("curl").alias("n_canon"))
+    )
+
+
 def x02_extract_stats(spark: SparkSession, sf: str) -> DataFrame:
     from docvision_spark.pipeline.extract_job import extract_pages, read_pages
 
@@ -716,7 +744,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_structured_output": t07_structured_output,
         "m01_image_features": m01_image_features,
         "m02_image_dups": m02_image_dups,
+        "u01_url_canonical": u01_url_canonical,
     }
+
+
+def _u01_sql() -> str:
+    from docvision_spark.functions.urls import canonical_url_sql
+
+    return f"""
+        with raw as (
+          select url from read_parquet('{_XCACHE_DOCS}/*.parquet')
+        ),
+        messy as (
+          select case
+                   when length(url) % 3 = 0 then
+                     regexp_replace(url, '^http://', 'HTTP://')
+                       || '?utm_source=feed&fbclid=abc#top'
+                   when length(url) % 3 = 1 then url || '/#frag'
+                   else url || '?gclid=g'
+                 end as url
+          from raw
+        ),
+        allu as (select url from raw union all select url from messy),
+        canon as (select url, {canonical_url_sql('url')} as curl from allu)
+        select regexp_extract(curl, '^[a-z]+://([^/?]+)', 1) as host,
+               count(*) as n_rows,
+               count(distinct url) as n_raw,
+               count(distinct curl) as n_canon
+        from canon group by 1
+    """
 
 
 def _stoplist_sql(lang: str) -> str:
@@ -1083,6 +1139,7 @@ def oracle_sql() -> dict[str, str]:
         "s03_lsh_topk": _twin_sql("s03_lsh_topk"),
         "s05_ivf_topk": _twin_sql("s05_ivf_topk"),
         "s06_emb_dup_lsh": _twin_sql("s06_emb_dup_lsh"),
+        "u01_url_canonical": _u01_sql(),
         "m01_image_features": f"""
             select kind, format, count(*) as n,
                    sum(case when error is not null then 1 else 0 end)::bigint as n_errors,

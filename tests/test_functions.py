@@ -343,3 +343,33 @@ def test_multimodal_plumbing(spark):
     assert out[5]["format"] == "png" and out[5]["width"] == 40
     assert out[5]["dhash"] is not None and out[5]["error"] is None
     assert out[1]["feature_hash"] and out[1]["error"] is None
+
+
+@pytest.mark.spark
+def test_canonical_url_and_dedup(spark):
+    """RFC-3986-subset canonicalization: scheme/host case, default ports,
+    fragments, tracking params, duplicate/trailing slashes — variants of the
+    same resource collapse; url_dedup keeps the lowest original url."""
+    from docvision_spark.functions.urls import canonical_url, url_dedup
+
+    cases = [
+        ("HTTP://Example.COM:80/a/b/?utm_source=x&q=1#frag", "http://example.com/a/b?q=1"),
+        ("https://example.com:443/", "https://example.com/"),
+        ("http://example.com/a//b///c/", "http://example.com/a/b/c"),
+        ("http://example.com/path?q=1&utm_source=a&r=2", "http://example.com/path?q=1&r=2"),
+        ("http://example.com/path?utm_source=a", "http://example.com/path"),
+        ("https://Sub.Example.com/UPPER/Case?Q=V", "https://sub.example.com/UPPER/Case?Q=V"),
+        ("http://example.com/a/?ref=home", "http://example.com/a"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+    variants = spark.createDataFrame(
+        [("http://a.com/x",), ("HTTP://A.com/x/#top",), ("http://a.com/x?utm_source=s",),
+         ("http://b.com/y",)], "url string")
+    kept = url_dedup(variants).collect()
+    assert {r["url"] for r in kept} == {"HTTP://A.com/x/#top", "http://b.com/y"} or \
+           {r["url"] for r in kept} == {"http://a.com/x", "http://b.com/y"}
+    # keep-lowest-url is deterministic: 'HTTP://...' < 'http://...' in ASCII
+    assert {r["url"] for r in kept} == {"HTTP://A.com/x/#top", "http://b.com/y"}
