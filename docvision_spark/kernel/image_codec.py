@@ -262,7 +262,10 @@ def decode_pnm(data: bytes) -> np.ndarray:
             pos += 1
         if pos == start:
             raise ImageDecodeError("pnm: truncated header")
-        fields.append(int(data[start:pos]))
+        try:
+            fields.append(int(data[start:pos]))
+        except ValueError as e:
+            raise ImageDecodeError("pnm: non-numeric header field") from e
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
     if maxval > 255 or w <= 0 or h <= 0:

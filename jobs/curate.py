@@ -2,7 +2,9 @@
 for. One spark-submit turns a raw pages table (parquet or WARC) into a
 deduplicated, quality-filtered text corpus with an audit trail.
 
-    pages ──extract──> text ──validate──> structural pass
+    pages ──url dedup──> drop re-crawls/tracking-param variants BEFORE
+                         paying extraction cost (canonical_url collapse)
+          ──extract──> text ──validate──> structural pass
           ──quality──> score >= threshold
           ──exact dedup──> drop byte-copies (keep smallest url)
           ──minhash near-dup──> drop jaccard>=0.8 duplicates (keep one per pair-cluster)
@@ -47,6 +49,15 @@ def main() -> None:
 
     pages = (read_warc(spark, args.input).select("url", "html", "lang")
              if args.warc else read_pages(spark, args.input))
+
+    # 0. url-level dedup BEFORE extraction: the same resource under a
+    #    tracking-param / scheme-case / trailing-slash variant must not pay
+    #    kernel cost twice (keep-lowest-url per canonical form)
+    from docvision_spark.functions.urls import url_dedup
+
+    report["input_pages"] = pages.count()
+    pages = url_dedup(pages).drop("canonical_url")
+    report["after_url_dedup"] = pages.count()
 
     # 1. extract (cache: every later stage reuses it)
     out = extract_pages(pages).cache()

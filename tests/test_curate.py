@@ -37,6 +37,10 @@ def test_curate_drops_planted_duplicates(tmp_path):
             n_html += 1
             # exact duplicate under a different url
             add(r.url + "?dup=1", r.warc_ts, r.html, r.lang)
+            if n_html <= 3:
+                # url-level variant: canonicalizes onto r.url (tracking
+                # param + fragment) -> must drop BEFORE extraction
+                add(r.url + "?utm_source=feed#top", r.warc_ts, r.html, r.lang)
             if n_html <= 4:
                 # near duplicate: inject one extra paragraph
                 mutated = r.html.replace(
@@ -67,7 +71,10 @@ def test_curate_drops_planted_duplicates(tmp_path):
     report = json.loads(proc.stdout.strip().splitlines()[-1])
 
     n_input = len(rows["url"])
-    assert report["extracted"] == n_input
+    assert report["input_pages"] == n_input
+    # the 3 planted url variants collapse before extraction is paid
+    assert report["after_url_dedup"] == n_input - 3
+    assert report["extracted"] == n_input - 3
     # all 8 exact dups collapse
     assert report["after_exact_dedup"] <= report["quality_pass"] - 8
     # all 4 near dups drop

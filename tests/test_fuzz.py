@@ -54,3 +54,66 @@ def test_pdf_path_total(payload):
     if r.error is None:
         for (bid, kind, s, e) in r.spans:
             assert 0 <= s <= e <= len(r.text)
+
+
+# ---------------------------------------------------------- image codec ----
+
+rgb_arrays = st.tuples(
+    st.integers(1, 24), st.integers(1, 24), st.sampled_from([2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+).map(lambda t: _mk_array(*t))
+
+
+def _mk_array(h, w, ndim_kind, seed):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    if ndim_kind == 2:
+        return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    return rng.integers(0, 256, size=(h, w, ndim_kind), dtype=np.uint8)
+
+
+@settings(max_examples=150, deadline=None)
+@given(arr=rgb_arrays, ft=st.integers(0, 4))
+def test_png_roundtrip_property(arr, ft):
+    """encode->decode is the identity on the RGB channels for every shape,
+    every filter type, gray/RGB/RGBA."""
+    import numpy as np
+
+    from docvision_spark.kernel.image_codec import decode_png, encode_png
+
+    dec = decode_png(encode_png(arr, filter_type=ft))
+    if arr.ndim == 2:
+        exp = np.repeat(arr[:, :, None], 3, axis=2)
+    elif arr.shape[2] == 4:
+        exp = arr[:, :, :3]
+    else:
+        exp = arr
+    assert dec.shape == exp.shape and (dec == exp).all()
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.binary(max_size=512))
+def test_decode_image_total_on_garbage(data):
+    """decode_image never hangs/crashes on arbitrary bytes: it either returns
+    a valid array or raises ImageDecodeError (no other exception class)."""
+    from docvision_spark.kernel.image_codec import ImageDecodeError, decode_image
+
+    try:
+        rgb, fmt = decode_image(data)
+        assert rgb.ndim == 3 and rgb.shape[2] == 3 and fmt in ("png", "bmp", "pnm")
+    except ImageDecodeError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(max_size=512), prefix=st.sampled_from(
+    [b"\x89PNG\r\n\x1a\n", b"BM", b"P6 ", b"P5\n"]))
+def test_decode_image_total_on_magic_prefixed_garbage(data, prefix):
+    """Same totality with valid magic bytes followed by garbage — the parser
+    paths themselves must fail cleanly, not just the dispatcher."""
+    from docvision_spark.kernel.image_codec import ImageDecodeError, decode_image
+
+    try:
+        decode_image(prefix + data)
+    except ImageDecodeError:
+        pass
