@@ -102,6 +102,31 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("quality_score", score)
 
 
+def repetition_ratio(col: Column, k: int = 3) -> Column:
+    """Repeated-k-gram fraction: 1 - distinct/total word k-grams, as an
+    integer pair (n_grams, n_distinct) folded to a 4dp ratio. High values
+    flag boilerplate/spam/template pages — a standard LLM-corpus quality
+    signal (e.g. Gopher rules' repetition filters). Expression-only."""
+    toks = tokens(col)
+    n = F.size(toks)
+    grams = F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(F.sequence(F.lit(0), n - F.lit(k)),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return F.round(F.when(total > 0, (total - distinct) / total)
+                    .otherwise(F.lit(0.0)), 4)
+
+
+def hash_sample(col: Column, hex_chars: tuple[str, ...]) -> Column:
+    """Deterministic, engine-portable sampling predicate: keep a row when
+    the first hex digit of md5(col) is in hex_chars (rate = len/16). Unlike
+    rand()/sampleBy this is reproducible across engines, runs, and
+    partitionings — the property a training-mix pipeline needs so a sample
+    is re-derivable from the corpus alone."""
+    return F.substring(F.md5(col.cast("string")), 1, 1).isin(*hex_chars)
+
+
 def cjk_chars(col: Column) -> Column:
     """Count of CJK-unified-ideograph codepoints (U+4E00..U+9FFF)."""
     return F.length(F.regexp_replace(col, "[^一-鿿]", ""))

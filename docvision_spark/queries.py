@@ -387,6 +387,28 @@ def t08_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
          .alias("expansion"))
 
 
+def t09_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Repeated-3-gram quality signal per doc (Gopher-style repetition
+    filter) + the filter decision at the 0.2 threshold (integer-safe: the
+    decision is computed on the rounded ratio in both engines)."""
+    d = load(spark, sf, "documents")
+    r = text.repetition_ratio(F.col("text"), 3)
+    return d.select("doc_id", r.alias("rep_ratio"),
+                    (r <= 0.2).alias("keep"))
+
+
+def t10_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 25% hash sample, stratified readout by lang: the sample
+    is a pure function of doc_id (md5 first hex digit) so any engine
+    re-derives the identical subset — no rand()/seed coupling."""
+    d = load(spark, sf, "documents")
+    keep = text.hash_sample(F.col("doc_id"), ("0", "1", "2", "3"))
+    return (d.withColumn("sampled", keep)
+             .groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled")))
+
+
 def t05_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return dedup.exact_dedup(d).select("fp", "doc_id", "n_copies")
@@ -726,6 +748,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t04_fingerprint": t04_fingerprint,
         "t05_exact_dedup": t05_exact_dedup,
         "t08_bpe_tokens": t08_bpe_tokens,
+        "t09_repetition": t09_repetition,
+        "t10_hash_sample": t10_hash_sample,
         "d01_minhash_pairs": d01_minhash_pairs,
         "d02_simhash_pairs": d02_simhash_pairs,
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
@@ -1002,6 +1026,35 @@ def oracle_sql() -> dict[str, str]:
             select md5({norm}) as fp, min(doc_id) as doc_id,
                    count(*) as n_copies
             from documents group by 1
+        """,
+        "t09_repetition": f"""
+            with t as (
+              select doc_id, {_tokens_sql('text')} as toks from documents
+            ),
+            g as (
+              select doc_id,
+                     case when len(toks) < 3 then [array_to_string(toks, ' ')]
+                          else [array_to_string(toks[i:i+2], ' ')
+                                for i in range(1, len(toks) - 1)]
+                     end as grams
+              from t
+            ),
+            r as (
+              select doc_id,
+                     round(case when len(grams) > 0
+                           then (len(grams) - len(list_distinct(grams)))
+                                / len(grams)
+                           else 0.0 end, 4) as rep_ratio
+              from g
+            )
+            select doc_id, rep_ratio, rep_ratio <= 0.2 as keep from r
+        """,
+        "t10_hash_sample": """
+            select lang, count(*) as n_docs,
+                   sum(case when substr(md5(doc_id::varchar), 1, 1)
+                            in ('0','1','2','3') then 1 else 0 end)::bigint
+                     as n_sampled
+            from documents group by lang
         """,
         "t08_bpe_tokens": f"""
             with b as (
