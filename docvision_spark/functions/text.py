@@ -127,6 +127,33 @@ def hash_sample(col: Column, hex_chars: tuple[str, ...]) -> Column:
     return F.substring(F.md5(col.cast("string")), 1, 1).isin(*hex_chars)
 
 
+def chunk_tokens(col: Column, chunk_size: int = 128) -> Column:
+    """Split a document into fixed-size whitespace-token windows (the
+    pre-tokenization chunking step of a training pipeline): array of
+    chunk strings, each <= chunk_size tokens, in document order, no
+    overlap. Empty/whitespace docs -> empty array. Expression-only."""
+    def over(toks: Column) -> Column:
+        n = F.size(toks)
+        n_chunks = F.ceil(n / F.lit(chunk_size)).cast("int")
+        return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * chunk_size + 1, chunk_size)),
+            ))
+    from docvision_spark.functions.dedup import let_  # local import: no cycle at module load
+    return let_(tokens(col), over)
+
+
+def explode_chunks(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", chunk_size: int = 128) -> DataFrame:
+    """One row per (doc, chunk_no) — posexplode keeps document order."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunk_tokens(F.col(text_col), chunk_size))
+         .alias("chunk_no", "chunk"))
+
+
 def cjk_chars(col: Column) -> Column:
     """Count of CJK-unified-ideograph codepoints (U+4E00..U+9FFF)."""
     return F.length(F.regexp_replace(col, "[^一-鿿]", ""))

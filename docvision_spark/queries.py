@@ -409,6 +409,15 @@ def t10_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
                   F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled")))
 
 
+def c01_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-chunk fan-out: fixed 128-token windows per doc, one row per
+    (doc, chunk_no) in document order; emits each chunk's char length (the
+    value compare stays light while still pinning exact chunk boundaries)."""
+    d = load(spark, sf, "documents")
+    return text.explode_chunks(d, "text", "doc_id", 128).select(
+        "doc_id", "chunk_no", F.length("chunk").alias("n_chars"))
+
+
 def t05_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return dedup.exact_dedup(d).select("fp", "doc_id", "n_copies")
@@ -750,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t08_bpe_tokens": t08_bpe_tokens,
         "t09_repetition": t09_repetition,
         "t10_hash_sample": t10_hash_sample,
+        "c01_chunks": c01_chunks,
         "d01_minhash_pairs": d01_minhash_pairs,
         "d02_simhash_pairs": d02_simhash_pairs,
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
@@ -1026,6 +1036,25 @@ def oracle_sql() -> dict[str, str]:
             select md5({norm}) as fp, min(doc_id) as doc_id,
                    count(*) as n_copies
             from documents group by 1
+        """,
+        "c01_chunks": f"""
+            with t as (
+              select doc_id, {_tokens_sql('text')} as toks from documents
+            ),
+            c as (
+              select doc_id,
+                     case when len(toks) = 0 then []::varchar[]
+                          else [array_to_string(
+                                  toks[(i-1)*128+1:least(i*128, len(toks))], ' ')
+                                for i in range(1,
+                                  cast(ceil(len(toks) / 128.0) as int) + 1)]
+                     end as chunks
+              from t
+            )
+            select doc_id,
+                   generate_subscripts(chunks, 1) - 1 as chunk_no,
+                   length(unnest(chunks)) as n_chars
+            from c
         """,
         "t09_repetition": f"""
             with t as (
