@@ -36,7 +36,9 @@ HEADLINE = [
     "t01_token_stats", "t02_quality", "t03_langid", "t05_exact_dedup",
     "d01_minhash_pairs", "d02_simhash_pairs", "d04_winnow_fingerprints",
     "s01_topk_cosine", "s02_knn_sample",
-    "m02_image_dups",
+    "m02_image_dups", "t08_bpe_tokens", "c01_chunks",
+    # u01 deliberately excluded: it triggers the one-time sf0.1 xcache build
+    # (a full extraction pass) which would dominate its timing slot
 ]
 
 
