@@ -88,7 +88,7 @@ def main() -> None:
     reg = queries()
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # best-of-2: the shared host is noisy (4x swings)
+        for _ in range(3):  # best-of-3: the shared host is noisy (4-8x swings)
             t0 = time.perf_counter()
             df = reg[name](spark, SF_DIR)
             df.count()
