@@ -129,3 +129,45 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame(rows, columns=[f.name for f in FP_SCHEMA.fields])
 
     return df.select(id_col, text_col).mapInPandas(fn, schema=FP_SCHEMA)
+
+
+def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", k: int = 8, w: int = 16,
+                         min_shared: int = 3,
+                         max_postings: int | None = 128) -> DataFrame:
+    """MOSS-style overlap pairs: documents sharing >= min_shared winnowing
+    fingerprints (position-robust near-dup / plagiarism detection).
+
+    Scale shape mirrors ngram_jaccard_pairs: inverted index on fingerprints
+    (explode -> self-join on fp) generates candidates; hot fingerprints
+    (present in > max_postings docs — boilerplate fragments) are dropped
+    from the INDEX only (recall knob); the final n_shared is EXACT
+    (array_intersect over the candidates' full fingerprint sets). Never an
+    all-pairs join.
+    """
+    from pyspark.sql import functions as F
+
+    fps = winnow_fingerprints(df, id_col, text_col, k, w) \
+        .select(F.col("doc_id").alias("id"), "fingerprints")
+    postings = fps.select("id", F.explode("fingerprints").alias("fp"))
+    if max_postings is not None:
+        hot = (postings.groupBy("fp").count()
+                       .filter(F.col("count") > max_postings).select("fp"))
+        postings = postings.join(hot, "fp", "left_anti")
+    a, b = postings.alias("a"), postings.alias("b")
+    cand = (
+        a.join(b, "fp").filter(F.col("a.id") < F.col("b.id"))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand.join(fps.select(F.col("id").alias("id_a"),
+                             F.col("fingerprints").alias("fp_a")), "id_a")
+            .join(fps.select(F.col("id").alias("id_b"),
+                             F.col("fingerprints").alias("fp_b")), "id_b")
+    )
+    shared = F.size(F.array_intersect(
+        F.array_distinct("fp_a"), F.array_distinct("fp_b")))
+    return (cand.withColumn("n_shared", shared)
+                .filter(F.col("n_shared") >= min_shared)
+                .select("id_a", "id_b", "n_shared"))

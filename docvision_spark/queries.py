@@ -488,6 +488,39 @@ def d03_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, k=3, threshold=0.5, max_postings=None)
 
 
+def d05_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style winnow-overlap pairs. Semi-derived oracle: the fingerprint
+    SETS are materialized once (winnowing itself is not SQL-expressible),
+    but the candidate-join + exact intersection logic IS re-derived by the
+    DuckDB twin from those sets — stronger than a pure determinism twin.
+    max_postings=None at oracle scale (exact recall, like d03)."""
+    import json as _json
+
+    from docvision_spark.functions.fingerprint import (
+        winnow_fingerprints, winnow_overlap_pairs)
+
+    d = load(spark, sf, "documents")
+    # materialize the fingerprint sets for the oracle (tier-keyed)
+    tier = os.path.basename(os.path.normpath(sf)) or "sf0.001"
+    marker = os.path.join(_TWIN_DIR, "_d05_fps.json")
+    path = os.path.join(_TWIN_DIR, "d05_fps.parquet")
+    fresh = False
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                fresh = (_json.load(fh).get("tier") == tier
+                         and os.path.exists(path))
+        except (OSError, ValueError):
+            pass
+    if not fresh:
+        winnow_fingerprints(d).select("doc_id", "fingerprints") \
+            .write.mode("overwrite").parquet(path)
+        os.makedirs(_TWIN_DIR, exist_ok=True)
+        with open(marker, "w") as fh:
+            _json.dump({"tier": tier}, fh)
+    return winnow_overlap_pairs(d, min_shared=3, max_postings=None)
+
+
 def d04_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return _twin(spark, sf, "d04_winnow_fingerprints",
@@ -764,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d02_simhash_pairs": d02_simhash_pairs,
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
         "d04_winnow_fingerprints": d04_winnow_fingerprints,
+        "d05_winnow_overlap": d05_winnow_overlap,
         "s01_topk_cosine": s01_topk_cosine,
         "s02_knn_sample": s02_knn_sample,
         "s03_lsh_topk": s03_lsh_topk,
@@ -1218,6 +1252,19 @@ def oracle_sql() -> dict[str, str]:
         "d01_minhash_pairs": _twin_sql("d01_minhash_pairs"),
         "d02_simhash_pairs": _twin_sql("d02_simhash_pairs"),
         "d04_winnow_fingerprints": _twin_sql("d04_winnow_fingerprints"),
+        "d05_winnow_overlap": f"""
+            with f as (
+              select doc_id, list_distinct(fingerprints) as fps
+              from read_parquet('{os.path.join(_TWIN_DIR, "d05_fps.parquet")}/*.parquet')
+            ),
+            p as (
+              select a.doc_id as id_a, b.doc_id as id_b,
+                     len(list_intersect(a.fps, b.fps)) as n_shared
+              from f a join f b on a.doc_id < b.doc_id
+            )
+            select id_a, id_b, n_shared::int as n_shared
+            from p where n_shared >= 3
+        """,
         "s03_lsh_topk": _twin_sql("s03_lsh_topk"),
         "s05_ivf_topk": _twin_sql("s05_ivf_topk"),
         "s06_emb_dup_lsh": _twin_sql("s06_emb_dup_lsh"),

@@ -373,3 +373,14 @@ def test_canonical_url_and_dedup(spark):
            {r["url"] for r in kept} == {"http://a.com/x", "http://b.com/y"}
     # keep-lowest-url is deterministic: 'HTTP://...' < 'http://...' in ASCII
     assert {r["url"] for r in kept} == {"HTTP://A.com/x/#top", "http://b.com/y"}
+
+
+@pytest.mark.spark
+def test_winnow_overlap_pairs(spark, docs):
+    from docvision_spark.functions.fingerprint import winnow_overlap_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(docs, min_shared=3).collect()}
+    assert (1, 2) in pairs                       # exact dups share everything
+    assert (1, 3) in pairs                       # one-word edit: heavy overlap
+    assert not any({a, b} & {4} for a, b in pairs)  # unrelated never pairs
