@@ -141,3 +141,23 @@ def test_media_synthesis_repartitions_before_decode(spark):
     # tree prints parent-first, so the exchange must appear BELOW (after)
     # MapInPandas in text == execute BEFORE it
     assert tree.find("MapInPandas") < tree.find("Exchange"), tree
+
+
+EXPRESSION_ONLY = [
+    "t01_token_stats", "t02_quality", "t03_langid", "t04_fingerprint",
+    "t08_bpe_tokens", "t09_repetition", "t10_hash_sample", "c01_chunks",
+    "u01_url_canonical", "p01_empty_filter", "p05_transcription",
+]
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize("name", EXPRESSION_ONLY)
+def test_expression_only_queries_stay_jvm_side(spark, name):
+    """Every text/url/chunk operator advertised as expression-only must show
+    NO Python eval node in its physical plan — a silent fallback to a
+    row-at-a-time UDF is the classic 10-100x regression at scale."""
+    from docvision_spark import queries as q
+
+    plan = plan_of(q.queries()[name](spark, "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan, f"{name} fell off codegen:\n{plan[:800]}"
+    assert "MapInPandas" not in plan or name == "u01_url_canonical", name
