@@ -403,3 +403,47 @@ def ngram_jaccard_pairs(
             .select("id_a", "id_b",
                     F.round(F.col("n_inter") / F.col("n_union"), 4).alias("jaccard"))
     )
+
+
+# --------------------------------------------------- connected components --
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (id, cluster_id),
+    cluster_id = min id reachable. Proper dedup KEEPS one doc per component
+    (a~b, b~c collapse to one survivor even though a,c never paired).
+
+    Min-label propagation: each iteration one join + min-agg (labels flow one
+    hop), early-stop when no label changes. Converges in graph-diameter
+    iterations — near-dup clusters are shallow (diameter ~ a few), so this
+    is a handful of shuffles, each carrying only (id, label) longs. Lineage
+    is truncated with localCheckpoint every iteration so the plan does not
+    grow O(iterations) deep (the 100 TB failure mode of iterative DataFrame
+    algorithms).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionAll(pairs.select(F.col(id_b).alias("src"),
+                                    F.col(id_a).alias("dst")))
+    )
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("lbl", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.src == labels.id)
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.min("lbl").alias("nbr_lbl")))
+        new_labels = (
+            labels.join(nbr, "id", "left")
+                  .select("id", F.least("lbl", F.coalesce("nbr_lbl", "lbl"))
+                                 .alias("lbl"))
+                  .localCheckpoint()
+        )
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

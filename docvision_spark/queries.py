@@ -528,6 +528,21 @@ def d04_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
                      "doc_id", "n_grams", F.size("fingerprints").alias("n_fp")))
 
 
+def d06_dup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the minhash near-dup pair graph: the proper
+    keep-one-per-cluster dedup unit (a~b, b~c collapse even though a,c never
+    paired). Semi-derived oracle: the PAIRS are materialized (LSH banding is
+    not SQL), but the transitive closure itself is re-derived in DuckDB with
+    a recursive CTE — the component logic is genuinely cross-checked."""
+    from docvision_spark.functions.dedup import connected_components
+
+    d = load(spark, sf, "documents")
+    pairs = _twin(spark, sf, "d06_pairs",
+                  dedup.minhash_lsh_pairs(d, jaccard_threshold=0.5)
+                       .select("id_a", "id_b"))
+    return connected_components(pairs)
+
+
 # ===========================================================================
 # similarity search over embeddings
 # ===========================================================================
@@ -798,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
         "d04_winnow_fingerprints": d04_winnow_fingerprints,
         "d05_winnow_overlap": d05_winnow_overlap,
+        "d06_dup_clusters": d06_dup_clusters,
         "s01_topk_cosine": s01_topk_cosine,
         "s02_knn_sample": s02_knn_sample,
         "s03_lsh_topk": s03_lsh_topk,
@@ -1252,6 +1268,25 @@ def oracle_sql() -> dict[str, str]:
         "d01_minhash_pairs": _twin_sql("d01_minhash_pairs"),
         "d02_simhash_pairs": _twin_sql("d02_simhash_pairs"),
         "d04_winnow_fingerprints": _twin_sql("d04_winnow_fingerprints"),
+        "d06_dup_clusters": f"""
+            with recursive p as (
+              select id_a, id_b
+              from read_parquet('{os.path.join(_TWIN_DIR, "d06_pairs.parquet")}/*.parquet')
+            ),
+            edges as (
+              select id_a as a, id_b as b from p
+              union all
+              select id_b as a, id_a as b from p
+            ),
+            verts as (select distinct a as id from edges),
+            reach(src, dst) as (
+              select id, id from verts
+              union
+              select r.src, e.b from reach r join edges e on r.dst = e.a
+            )
+            select src as id, min(dst) as cluster_id
+            from reach group by src
+        """,
         "d05_winnow_overlap": f"""
             with f as (
               select doc_id, list_distinct(fingerprints) as fps

@@ -384,3 +384,18 @@ def test_winnow_overlap_pairs(spark, docs):
     assert (1, 2) in pairs                       # exact dups share everything
     assert (1, 3) in pairs                       # one-word edit: heavy overlap
     assert not any({a, b} & {4} for a, b in pairs)  # unrelated never pairs
+
+
+@pytest.mark.spark
+def test_connected_components_transitive(spark):
+    """a~b, b~c, plus an isolated pair: clusters must close transitively
+    under min-label, including a long chain (propagation > 1 hop)."""
+    from docvision_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13), (13, 14)],
+        "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
+                   10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
