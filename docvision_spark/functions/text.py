@@ -154,6 +154,31 @@ def explode_chunks(df: DataFrame, text_col: str = "text",
          .alias("chunk_no", "chunk"))
 
 
+# PII patterns — constructs with identical Java-regex/RE2 semantics (no
+# lookarounds, no backrefs). Deliberately conservative: a training scrub
+# prefers false positives (over-redaction) to leaks.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (expression-only)."""
+    return {kind: F.regexp_count(col, F.lit(pat))
+            for kind, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace every PII match with a typed placeholder token (Dolma-style
+    scrub). Order fixed (email -> phone -> ipv4) so outputs are stable."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"<<{kind.upper()}>>")
+    return out
+
+
 def cjk_chars(col: Column) -> Column:
     """Count of CJK-unified-ideograph codepoints (U+4E00..U+9FFF)."""
     return F.length(F.regexp_replace(col, "[^一-鿿]", ""))

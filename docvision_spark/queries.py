@@ -409,6 +409,47 @@ def t10_hash_sample(spark: SparkSession, sf: str) -> DataFrame:
                   F.sum(F.when(F.col("sampled"), 1).otherwise(0)).alias("n_sampled")))
 
 
+def t11_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub stage: plant synthetic PII in a quarter of the corpus
+    (both engines plant identically), count matches per kind, and emit the
+    redacted length — redaction must remove exactly what counting found."""
+    d = load(spark, sf, "documents")
+    planted = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" contact me: "),
+                 F.concat(F.lit("user"), F.col("doc_id").cast("string"),
+                          F.lit("@example.com")),
+                 F.lit(" or +1-555-123-4567 from 192.168.1.1 today")),
+    ).otherwise(F.col("text"))
+    counts = text.pii_counts(planted)
+    return d.select(
+        "doc_id",
+        counts["email"].alias("n_email"),
+        counts["phone"].alias("n_phone"),
+        counts["ipv4"].alias("n_ipv4"),
+        F.length(text.redact_pii(planted)).alias("n_redacted"))
+
+
+def c02_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark-contamination check: probe substrings (the first 40
+    normalized chars of 5 fixed docs) are broadcast against every document;
+    a doc containing any probe is flagged. The 100 TB shape: tiny probe set
+    broadcast, corpus scanned once, no shuffle of the corpus."""
+    d = load(spark, sf, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    probes = (d.filter(F.col("doc_id") < 5)
+                .select(F.col("doc_id").alias("probe_id"),
+                        F.substring(norm, 1, 40).alias("probe"))
+                .filter(F.length("probe") >= 20))
+    hits = (d.select("doc_id", norm.alias("norm"))
+             .crossJoin(F.broadcast(probes))
+             .filter(F.expr("position(probe in norm) > 0")))
+    return (hits.groupBy("doc_id")
+                .agg(F.countDistinct("probe_id").alias("n_probes_hit"),
+                     F.min("probe_id").alias("first_probe")))
+
+
 def c01_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Training-chunk fan-out: fixed 128-token windows per doc, one row per
     (doc, chunk_no) in document order; emits each chunk's char length (the
@@ -808,6 +849,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t09_repetition": t09_repetition,
         "t10_hash_sample": t10_hash_sample,
         "c01_chunks": c01_chunks,
+        "t11_pii_scrub": t11_pii_scrub,
+        "c02_contamination": c02_contamination,
         "d01_minhash_pairs": d01_minhash_pairs,
         "d02_simhash_pairs": d02_simhash_pairs,
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
@@ -1086,6 +1129,44 @@ def oracle_sql() -> dict[str, str]:
             select md5({norm}) as fp, min(doc_id) as doc_id,
                    count(*) as n_copies
             from documents group by 1
+        """,
+        "t11_pii_scrub": f"""
+            with w as (
+              select doc_id,
+                     case when doc_id % 4 = 0
+                          then text || ' contact me: user' || doc_id::varchar
+                               || '@example.com or +1-555-123-4567 from 192.168.1.1 today'
+                          else text end as raw
+              from documents
+            )
+            select doc_id,
+                   len(regexp_extract_all(raw, '{text.PII_PATTERNS["email"]}'))::int as n_email,
+                   len(regexp_extract_all(raw, '{text.PII_PATTERNS["phone"]}'))::int as n_phone,
+                   len(regexp_extract_all(raw, '{text.PII_PATTERNS["ipv4"]}'))::int as n_ipv4,
+                   length(regexp_replace(regexp_replace(regexp_replace(raw,
+                       '{text.PII_PATTERNS["email"]}', '<<EMAIL>>', 'g'),
+                       '{text.PII_PATTERNS["phone"]}', '<<PHONE>>', 'g'),
+                       '{text.PII_PATTERNS["ipv4"]}', '<<IPV4>>', 'g')) as n_redacted
+            from w
+        """,
+        "c02_contamination": r"""
+            with n as (
+              select doc_id,
+                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') as norm
+              from documents
+            ),
+            probes as (
+              select doc_id as probe_id, substr(norm, 1, 40) as probe
+              from n where doc_id < 5 and length(substr(norm, 1, 40)) >= 20
+            ),
+            hits as (
+              select d.doc_id, p.probe_id
+              from n d cross join probes p
+              where position(p.probe in d.norm) > 0
+            )
+            select doc_id, count(distinct probe_id) as n_probes_hit,
+                   min(probe_id) as first_probe
+            from hits group by doc_id
         """,
         "c01_chunks": f"""
             with t as (
