@@ -459,6 +459,44 @@ def c01_chunks(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "chunk_no", F.length("chunk").alias("n_chars"))
 
 
+def q12_token_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact token-count quantiles per lang (corpus length profile). Uses
+    EXACT percentile (not approx sketches) so the DuckDB quantile_cont twin
+    matches bit-for-bit — both engines linear-interpolate."""
+    d = load(spark, sf, "documents")
+    n = text.token_count(F.col("text"))
+    return (d.select("lang", n.alias("n_tokens"))
+             .groupBy("lang")
+             .agg(F.count("*").alias("n_docs"),
+                  F.percentile("n_tokens", F.lit(0.5)).alias("p50"),
+                  F.percentile("n_tokens", F.lit(0.9)).alias("p90"),
+                  F.percentile("n_tokens", F.lit(0.99)).alias("p99")))
+
+
+def t12_keywords_top3(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 rarity-weighted keywords per document (TF-IDF family): per-doc
+    term counts joined with corpus document frequency; score =
+    tf * 1_000_000 div df — INTEGER-exact, so engine `ln` ulp differences
+    can never flip a rank (the monotone idf transform is dropped, the
+    tf/rarity ordering it induces is kept). Tie-break (score desc, term asc)
+    is total.
+
+    Scale shape: two shuffles (doc-term agg, df agg) + a term-key
+    co-partitioned join; top-k is a per-doc window, never a global sort."""
+    d = load(spark, sf, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")) \
+            .filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    scored = (tf.join(df_, "term")
+                .withColumn("score", F.expr("tf * 1000000 div df"))
+                .withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= 3))
+    return scored.select("doc_id", "rnk", "term", "score")
+
+
 def t05_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return dedup.exact_dedup(d).select("fp", "doc_id", "n_copies")
@@ -850,6 +888,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_hash_sample": t10_hash_sample,
         "c01_chunks": c01_chunks,
         "t11_pii_scrub": t11_pii_scrub,
+        "t12_keywords_top3": t12_keywords_top3,
+        "q12_token_quantiles": q12_token_quantiles,
         "c02_contamination": c02_contamination,
         "d01_minhash_pairs": d01_minhash_pairs,
         "d02_simhash_pairs": d02_simhash_pairs,
@@ -1129,6 +1169,43 @@ def oracle_sql() -> dict[str, str]:
             select md5({norm}) as fp, min(doc_id) as doc_id,
                    count(*) as n_copies
             from documents group by 1
+        """,
+        "q12_token_quantiles": f"""
+            with t as (
+              select lang, len({_tokens_sql('text')}) as n_tokens
+              from documents
+            )
+            select lang, count(*) as n_docs,
+                   quantile_cont(n_tokens, 0.5) as p50,
+                   quantile_cont(n_tokens, 0.9) as p90,
+                   quantile_cont(n_tokens, 0.99) as p99
+            from t group by lang
+        """,
+        "t12_keywords_top3": f"""
+            with toks as (
+              select doc_id, unnest({_tokens_sql('lower(text)')}) as term
+              from documents
+            ),
+            ft as (
+              select doc_id, term, count(*) as tf
+              from toks where length(term) >= 3
+              group by doc_id, term
+            ),
+            dfreq as (
+              select term, count(distinct doc_id) as df from ft group by term
+            ),
+            scored as (
+              select ft.doc_id, ft.term, (ft.tf * 1000000) // dfreq.df as score
+              from ft join dfreq on ft.term = dfreq.term
+            ),
+            ranked as (
+              select doc_id, term, score,
+                     row_number() over (partition by doc_id
+                                        order by score desc, term asc) as rnk
+              from scored
+            )
+            select doc_id, rnk::int as rnk, term, score
+            from ranked where rnk <= 3
         """,
         "t11_pii_scrub": f"""
             with w as (
