@@ -41,16 +41,19 @@ MEDIA_SCHEMA = StructType([
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
-    StructField("format", StringType()),    # png | bmp | pnm | dvsm-fake
+    StructField("format", StringType()),    # png | bmp | pnm | wav | y4m | dvsm-fake
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("n_frames", IntegerType()),
     StructField("duration_s", DoubleType()),
     StructField("bytes_in", LongType()),
-    StructField("mean_luma", DoubleType()),
+    StructField("mean_luma", DoubleType()),   # images + video luma plane
     StructField("std_luma", DoubleType()),
     StructField("ahash", LongType()),
     StructField("dhash", LongType()),
+    StructField("rms", DoubleType()),         # audio
+    StructField("motion", DoubleType()),      # video inter-frame luma delta
+    StructField("sample_rate", IntegerType()),
     StructField("feature_hash", StringType()),
     StructField("error", StringType()),
 ])
@@ -94,6 +97,37 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
     raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
 
 
+def make_synthetic_audio(seed: int, duration_s: float = 0.25,
+                         rate: int = 8000) -> bytes:
+    """Deterministic WAV: two seeded sine tones + seeded noise floor."""
+    from docvision_spark.kernel.av_codec import encode_wav
+
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    f1, f2 = int(rng.integers(200, 800)), int(rng.integers(800, 2400))
+    t = np.arange(int(duration_s * rate)) / rate
+    sig = (0.4 * np.sin(2 * np.pi * f1 * t)
+           + 0.2 * np.sin(2 * np.pi * f2 * t)
+           + 0.02 * rng.standard_normal(t.shape[0]))
+    return encode_wav(np.clip(sig, -1, 1), rate)
+
+
+def make_synthetic_video(seed: int, width: int = 32, height: int = 24,
+                         n_frames: int = 5, fps: int = 10) -> bytes:
+    """Deterministic y4m: seeded gradient translating frame-to-frame (so the
+    motion feature is nonzero and reproducible)."""
+    from docvision_spark.kernel.av_codec import encode_y4m
+
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    base = int(rng.integers(0, 128))
+    yy = np.arange(height)[:, None]
+    xx = np.arange(width)[None, :]
+    frames = np.stack([
+        ((base + 3 * yy + 5 * xx + 11 * f) % 256).astype(np.uint8)
+        for f in range(n_frames)
+    ])
+    return encode_y4m(frames, fps=fps)
+
+
 def _decode_av_stub(payload: bytes) -> dict:
     """STUB decoder for audio/video (real impl would be soundfile / pyav
     frame sampling; neither lib exists in this container). Parses the
@@ -122,6 +156,8 @@ def extract_media_features(df: DataFrame) -> DataFrame:
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        from docvision_spark.kernel.av_codec import (
+            decode_wav, decode_y4m, wav_features, y4m_features)
         from docvision_spark.kernel.image_codec import (
             ahash64, decode_image, dhash64, luma_stats)
 
@@ -134,6 +170,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                        "bytes_in": len(payload) if payload is not None else 0,
                        "mean_luma": None, "std_luma": None,
                        "ahash": None, "dhash": None,
+                       "rms": None, "motion": None, "sample_rate": None,
                        "feature_hash": None, "error": None}
                 try:
                     payload = bytes(payload) if payload is not None else b""
@@ -145,6 +182,25 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             n_frames=meta["n_frames"],
                             duration_s=(round(meta["n_frames"] / 25.0, 3)
                                         if meta["kind"] != "image" else 0.0),
+                        )
+                    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+                        samples, rate = decode_wav(payload)
+                        f = wav_features(samples, rate)
+                        row.update(
+                            kind="audio", format="wav",
+                            n_frames=samples.shape[0],
+                            duration_s=f["duration_s"], rms=f["rms"],
+                            sample_rate=f["sample_rate"],
+                        )
+                    elif payload[:9] == b"YUV4MPEG2":
+                        frames, fps = decode_y4m(payload)
+                        f = y4m_features(frames, fps)
+                        row.update(
+                            kind="video", format="y4m",
+                            width=f["width"], height=f["height"],
+                            n_frames=f["n_frames"],
+                            duration_s=f["duration_s"],
+                            mean_luma=f["mean_luma"], motion=f["motion"],
                         )
                     else:
                         rgb, fmt = decode_image(payload)
@@ -259,9 +315,11 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                      partitions: int | None = None) -> DataFrame:
     """Deterministic synthetic media table keyed by an integer id column:
     mostly real PNG/PNM images (varying sizes), planted near-dup twins
-    (id % 17 == 1 re-renders id-1's image with pixel noise <= 3), and a
-    sprinkle of DVSM audio/video stub rows (id % 23 in (0, 1)). Generation
-    runs distributed inside mapInPandas — no driver-side loop.
+    (id % 17 == 1 re-renders id-1's image with pixel noise <= 3), real WAV
+    audio (id % 23 == 0), real y4m video (id % 23 == 1), and a sprinkle of
+    DVSM stub rows (id % 23 == 2 — the declared-stub path for compressed
+    codecs stays exercised). Generation runs distributed inside
+    mapInPandas — no driver-side loop.
 
     The id column is explicitly repartitioned first: the doc table often
     arrives as one parquet file -> 1-2 input splits, which would serialize
@@ -282,9 +340,13 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
             for mid in pdf["media_id"]:
                 mid = int(mid)
                 if mid % 23 == 0:
-                    kind, payload = "audio", make_fake_media(mid, "audio", 0, 0, 44100)
+                    kind, payload = "audio", make_synthetic_audio(mid)
                 elif mid % 23 == 1:
-                    kind, payload = "video", make_fake_media(mid, "video", 320, 240, 25 * (1 + mid % 9))
+                    kind, payload = "video", make_synthetic_video(
+                        mid, n_frames=3 + mid % 5)
+                elif mid % 23 == 2:
+                    kind, payload = "video", make_fake_media(
+                        mid, "video", 320, 240, 25 * (1 + mid % 9))
                 else:
                     kind = "image"
                     seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)

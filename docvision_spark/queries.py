@@ -754,7 +754,7 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 1
+_MCACHE_REV = 2  # rev 2: real WAV/y4m decode, rms/motion/sample_rate columns
 
 
 def _media_features(spark: SparkSession, sf: str):
@@ -796,11 +796,30 @@ def m01_image_features(spark: SparkSession, sf: str) -> DataFrame:
         feats.groupBy("kind", "format")
              .agg(F.count("*").alias("n"),
                   F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"),
-                  F.sum("width").cast("long").alias("sum_w"),
-                  F.sum("height").cast("long").alias("sum_h"),
+                  F.coalesce(F.sum("width").cast("long"), F.lit(-1).cast("long")).alias("sum_w"),
+                  F.coalesce(F.sum("height").cast("long"), F.lit(-1).cast("long")).alias("sum_h"),
                   F.countDistinct("dhash").alias("n_dhash"),
                   F.coalesce(F.min("mean_luma"), F.lit(-1.0)).alias("min_luma"),
                   F.coalesce(F.max("mean_luma"), F.lit(-1.0)).alias("max_luma"))
+    )
+
+
+def m03_av_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio/video decode stats: REAL WAV (PCM) and y4m decoders
+    (kernel/av_codec.py) vs the declared DVSM stub rows for compressed
+    codecs — per-(kind, format) rollup with order-independent aggregates."""
+    _mcache(spark, sf)
+    feats = _media_features(spark, sf)
+    return (
+        feats.filter(F.col("kind").isin("audio", "video"))
+             .groupBy("kind", "format")
+             .agg(F.count("*").alias("n"),
+                  F.sum("n_frames").cast("long").alias("sum_frames"),
+                  F.coalesce(F.min("duration_s"), F.lit(-1.0)).alias("min_dur"),
+                  F.coalesce(F.max("duration_s"), F.lit(-1.0)).alias("max_dur"),
+                  F.coalesce(F.min("rms"), F.lit(-1.0)).alias("min_rms"),
+                  F.coalesce(F.max("motion"), F.lit(-1.0)).alias("max_motion"),
+                  F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"))
     )
 
 
@@ -911,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t07_structured_output": t07_structured_output,
         "m01_image_features": m01_image_features,
         "m02_image_dups": m02_image_dups,
+        "m03_av_features": m03_av_features,
         "u01_url_canonical": u01_url_canonical,
     }
 
@@ -1465,12 +1485,24 @@ def oracle_sql() -> dict[str, str]:
         "m01_image_features": f"""
             select kind, format, count(*) as n,
                    sum(case when error is not null then 1 else 0 end)::bigint as n_errors,
-                   sum(width)::bigint as sum_w,
-                   sum(height)::bigint as sum_h,
+                   coalesce(sum(width), -1)::bigint as sum_w,
+                   coalesce(sum(height), -1)::bigint as sum_h,
                    count(distinct dhash) as n_dhash,
                    coalesce(min(mean_luma), -1.0) as min_luma,
                    coalesce(max(mean_luma), -1.0) as max_luma
             from read_parquet('{_MCACHE}/*.parquet')
+            group by kind, format
+        """,
+        "m03_av_features": f"""
+            select kind, format, count(*) as n,
+                   sum(n_frames)::bigint as sum_frames,
+                   coalesce(min(duration_s), -1.0) as min_dur,
+                   coalesce(max(duration_s), -1.0) as max_dur,
+                   coalesce(min(rms), -1.0) as min_rms,
+                   coalesce(max(motion), -1.0) as max_motion,
+                   sum(case when error is not null then 1 else 0 end)::bigint as n_errors
+            from read_parquet('{_MCACHE}/*.parquet')
+            where kind in ('audio', 'video')
             group by kind, format
         """,
         "m02_image_dups": f"""

@@ -230,3 +230,66 @@ def test_image_dup_pairs_planted(spark):
     # distinct-seed images must NOT pair
     for (a, b) in pairs:
         assert (a, b) in ((0, 100), (1, 101)), f"false positive pair {(a, b)}"
+
+
+# ------------------------------------------------------------- AV codec -----
+
+def test_wav_roundtrip_and_features():
+    from docvision_spark.kernel.av_codec import (
+        decode_wav, encode_wav, wav_features)
+
+    rate = 8000
+    t = np.arange(4000) / rate
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    x, r = decode_wav(encode_wav(sig, rate))
+    assert r == rate and x.shape == (4000, 1)
+    assert np.max(np.abs(x[:, 0] - sig)) < 1e-4
+    f = wav_features(x, r)
+    assert f["duration_s"] == 0.5 and 0.34 < f["rms"] < 0.36
+    # stereo keeps channel count
+    st, _ = decode_wav(encode_wav(np.stack([sig, -sig], axis=1), rate))
+    assert st.shape == (4000, 2)
+
+
+def test_y4m_roundtrip_and_motion():
+    from docvision_spark.kernel.av_codec import (
+        decode_y4m, encode_y4m, y4m_features)
+
+    frames = RNG.integers(0, 256, size=(4, 24, 32), dtype=np.uint8)
+    dec, fps = decode_y4m(encode_y4m(frames, fps=10))
+    assert fps == 10.0 and (dec == frames).all()
+    f = y4m_features(dec, fps)
+    assert f["n_frames"] == 4 and f["duration_s"] == 0.4
+    const = np.full((3, 8, 8), 50, np.uint8)
+    assert y4m_features(const, 25.0)["motion"] == 0.0
+
+
+def test_av_decode_rejects_garbage():
+    from docvision_spark.kernel.av_codec import (
+        AvDecodeError, decode_wav, decode_y4m)
+
+    for bad in (b"RIFFxxxxWAVE", b"RIFF" + b"\x00" * 60, b"notwav"):
+        with pytest.raises(AvDecodeError):
+            decode_wav(bad)
+    for bad in (b"YUV4MPEG2 W0 H0\n", b"YUV4MPEG2 W4 H4 F25:1\nFRAME\nxx", b"nope"):
+        with pytest.raises(AvDecodeError):
+            decode_y4m(bad)
+
+
+@pytest.mark.spark
+def test_media_features_real_av(spark):
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features, make_synthetic_audio,
+        make_synthetic_video)
+
+    rows = [
+        (1, "audio", make_synthetic_audio(1)),
+        (2, "video", make_synthetic_video(2, n_frames=4)),
+    ]
+    out = {r["media_id"]: r for r in extract_media_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert out[1]["format"] == "wav" and out[1]["rms"] > 0
+    assert out[1]["sample_rate"] == 8000 and out[1]["duration_s"] == 0.25
+    assert out[2]["format"] == "y4m" and out[2]["n_frames"] == 4
+    assert out[2]["motion"] > 0 and out[2]["width"] == 32
+    assert out[1]["error"] is None and out[2]["error"] is None
