@@ -41,7 +41,7 @@ MEDIA_SCHEMA = StructType([
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
-    StructField("format", StringType()),    # png | bmp | pnm | wav | y4m | dvsm-fake
+    StructField("format", StringType()),    # png|bmp|pnm|gif|wav|y4m|dvsm-fake
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("n_frames", IntegerType()),
@@ -94,6 +94,9 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
         return encode_png(img)
     if fmt == "pnm":
         return b"P6 %d %d 255\n" % (width, height) + img.tobytes()
+    if fmt == "gif":
+        from docvision_spark.kernel.image_codec import encode_gif
+        return encode_gif(img, interlace=bool(seed % 2))
     raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
 
 
@@ -352,7 +355,8 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)
                     w = 32 + (seed % 4) * 16
                     h = 24 + (seed % 3) * 8
-                    fmt = "pnm" if mid % 11 == 0 else "png"
+                    fmt = ("pnm" if mid % 11 == 0
+                           else "gif" if mid % 13 == 3 else "png")
                     payload = make_synthetic_image(seed, w, h, noise=noise, fmt=fmt)
                 out.append({"media_id": mid, "kind": kind, "payload": payload})
             yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])

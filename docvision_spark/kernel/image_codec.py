@@ -13,6 +13,8 @@ specified by public specs and decodable without native libs:
   BMP  — BITMAPINFOHEADER, 8(palette)/24/32-bit uncompressed, bottom-up
          or top-down.
   PNM  — P5 (gray) / P6 (RGB) binary, maxval <= 255.
+  GIF  — 87a/89a first frame, full LZW (code-size growth + table reset),
+         global/local palettes, interlaced or sequential.
 
 Everything returns / accepts uint8 arrays: (H, W, 3) for color,
 (H, W) for grayscale. All math is integer or float64-rounded so results
@@ -290,6 +292,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_bmp(data), "bmp"
     if data[:2] in (b"P5", b"P6"):
         return decode_pnm(data), "pnm"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data), "gif"
     raise ImageDecodeError("unknown image format")
 
 
@@ -358,3 +362,212 @@ def luma_stats(rgb: np.ndarray) -> tuple[float, float]:
     """(mean, std) of the BT.601 luma plane, rounded to 4 dp for stability."""
     g = to_gray(rgb).astype(np.float64)
     return round(float(g.mean()), 4), round(float(g.std()), 4)
+
+
+# ----------------------------------------------------------------------- GIF
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW decode -> uint8 index array of length n_pixels."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bitstream reader (LSB-first)
+    acc = bits = pos = 0
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+
+    while n_out < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ImageDecodeError("gif: LZW stream truncated")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ImageDecodeError("gif: bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ImageDecodeError("gif: LZW code out of range")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out:n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    if n_out < n_pixels:
+        raise ImageDecodeError("gif: not enough pixel data")
+    return out
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (H, W, 3) uint8 RGB
+    (interlaced or not; transparency flattened to the palette color)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("gif: bad signature")
+    if len(data) < 13:
+        raise ImageDecodeError("gif: truncated header")
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        raw_gct = data[pos:pos + 3 * n]
+        if len(raw_gct) != 3 * n:
+            raise ImageDecodeError("gif: truncated global color table")
+        gct = np.frombuffer(raw_gct, dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                raise ImageDecodeError("gif: truncated image descriptor")
+            w, h = struct.unpack("<HH", data[pos + 5:pos + 9])
+            iflags = data[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                raw_lct = data[pos:pos + 3 * n]
+                if len(raw_lct) != 3 * n:
+                    raise ImageDecodeError("gif: truncated local color table")
+                pal = np.frombuffer(raw_lct, dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ImageDecodeError("gif: no color table")
+            if w == 0 or h == 0 or pos >= len(data):
+                raise ImageDecodeError("gif: bad frame")
+            min_code = data[pos]
+            pos += 1
+            if not 2 <= min_code <= 11:
+                raise ImageDecodeError("gif: bad LZW min code size")
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), min_code, w * h).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows written in 4 passes
+                order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                        np.arange(2, h, 4), np.arange(1, h, 2)])
+                de = np.empty_like(idx)
+                de[order] = idx
+                idx = de
+            if int(idx.max()) >= pal.shape[0]:
+                raise ImageDecodeError("gif: palette index out of range")
+            return pal[idx]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ImageDecodeError(f"gif: unknown block 0x{b:02x}")
+    raise ImageDecodeError("gif: no image data")
+
+
+def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode (H, W, 3) uint8 as GIF89a with a 256-entry grayscale-quantized
+    palette IF the image has >256 distinct colors, else the exact palette.
+    Deterministic; used for tests and synthetic corpora."""
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    flat = arr.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        # quantize to luma palette
+        g = to_gray(arr).reshape(-1)
+        pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+        idx = g
+    else:
+        pal = np.zeros((256, 3), dtype=np.uint8)
+        pal[:colors.shape[0]] = colors
+        idx = inverse.astype(np.uint8)
+    idx2 = idx.reshape(h, w)
+    if interlace:
+        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                                np.arange(2, h, 4), np.arange(1, h, 2)])
+        idx2 = idx2[order]
+    # LZW encode (min code size 8)
+    min_code = 8
+    clear, end = 256, 257
+    codes: list[int] = [clear]
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    code_size_seq = []
+    cur = b""
+    for px in idx2.reshape(-1).tobytes():
+        nxt = cur + bytes([px])
+        if nxt in table:
+            cur = nxt
+        else:
+            codes.append(table[cur])
+            table[nxt] = next_code
+            next_code += 1
+            cur = bytes([px])
+            if next_code > 4095:
+                codes.append(clear)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+    if cur:
+        codes.append(table[cur])
+    codes.append(end)
+    # pack codes LSB-first with growing code size, mirroring the decoder
+    outbits = bytearray()
+    acc = bits = 0
+    code_size = min_code + 1
+    cap = 258  # table size as the DECODER sees it after each emitted code
+    after_clear = True  # decoder adds NO entry for the first code post-clear
+    for c in codes:
+        acc |= c << bits
+        bits += code_size
+        while bits >= 8:
+            outbits.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+        if c == clear:
+            code_size = min_code + 1
+            cap = 258
+            after_clear = True
+        elif c == end:
+            pass
+        else:
+            if after_clear:
+                after_clear = False
+            elif cap < 4096:
+                cap += 1
+            if cap == (1 << code_size) and code_size < 12:
+                code_size += 1
+    if bits:
+        outbits.append(acc & 0xFF)
+    sub = bytearray()
+    for i in range(0, len(outbits), 255):
+        chunk = outbits[i:i + 255]
+        sub.append(len(chunk))
+        sub += chunk
+    sub.append(0)
+    head = (b"GIF89a" + struct.pack("<HH", w, h)
+            + bytes([0x80 | 0x07, 0, 0]) + pal.tobytes())
+    imgd = (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+            + bytes([0x40 if interlace else 0]) + bytes([min_code]) + bytes(sub))
+    return head + imgd + b"\x3B"

@@ -754,7 +754,7 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 2  # rev 2: real WAV/y4m decode, rms/motion/sample_rate columns
+_MCACHE_REV = 3  # rev 3: GIF rows in the synthetic media mix
 
 
 def _media_features(spark: SparkSession, sf: str):

@@ -107,7 +107,7 @@ def test_decode_image_total_on_garbage(data):
 
 @settings(max_examples=100, deadline=None)
 @given(data=st.binary(max_size=512), prefix=st.sampled_from(
-    [b"\x89PNG\r\n\x1a\n", b"BM", b"P6 ", b"P5\n"]))
+    [b"\x89PNG\r\n\x1a\n", b"BM", b"P6 ", b"P5\n", b"GIF89a", b"GIF87a"]))
 def test_decode_image_total_on_magic_prefixed_garbage(data, prefix):
     """Same totality with valid magic bytes followed by garbage — the parser
     paths themselves must fail cleanly, not just the dispatcher."""

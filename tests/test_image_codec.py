@@ -119,12 +119,55 @@ def test_pnm_gray_and_rgb_with_comments():
 
 
 def test_decode_image_dispatch():
+    from docvision_spark.kernel.image_codec import encode_gif
+
     img = _rand((6, 6, 3))
     assert decode_image(encode_png(img))[1] == "png"
     assert decode_image(_make_bmp(img))[1] == "bmp"
     assert decode_image(b"P6 6 6 255\n" + img.tobytes())[1] == "pnm"
+    assert decode_image(encode_gif(img))[1] == "gif"
     with pytest.raises(ImageDecodeError):
-        decode_image(b"GIF89a not supported")
+        decode_image(b"\xff\xd8\xff jpeg needs a DCT decoder")
+
+
+# ------------------------------------------------------------------- GIF ----
+
+@pytest.mark.parametrize("interlace", [False, True])
+@pytest.mark.parametrize("shape", [(9, 13), (1, 1), (64, 48)])
+def test_gif_palette_roundtrip(shape, interlace):
+    from docvision_spark.kernel.image_codec import decode_gif, encode_gif
+
+    pal8 = _rand((8, 3))
+    img = pal8[RNG.integers(0, 8, size=shape)]
+    dec = decode_gif(encode_gif(img, interlace=interlace))
+    assert dec.shape == img.shape and (dec == img).all()
+
+
+def test_gif_quantizes_beyond_256_colors_to_exact_luma():
+    from docvision_spark.kernel.image_codec import decode_gif, encode_gif
+
+    big = _rand((20, 30, 3))
+    dec = decode_gif(encode_gif(big))
+    g = to_gray(big)
+    assert (dec[:, :, 0] == g).all() and (dec[:, :, 2] == g).all()
+    # luma-quantized GIF keeps the BT.601 plane exactly -> dhash invariant
+    assert dhash64(dec) == dhash64(np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_gif_lzw_code_growth_and_table_reset():
+    from docvision_spark.kernel.image_codec import decode_gif, encode_gif
+
+    noise = RNG.integers(0, 256, size=(200, 200), dtype=np.uint8)
+    rgb = np.repeat(noise[:, :, None], 3, axis=2)  # 256 colors: exact path
+    assert (decode_gif(encode_gif(rgb)) == rgb).all()
+
+
+def test_gif_rejects_garbage():
+    from docvision_spark.kernel.image_codec import decode_gif
+
+    for bad in (b"GIF89a" + b"\x00" * 5, b"notgif", b"GIF89a" + b"\x00" * 20):
+        with pytest.raises(ImageDecodeError):
+            decode_gif(bad)
 
 
 # ------------------------------------------------------------- transforms ---
