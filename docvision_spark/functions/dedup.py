@@ -331,26 +331,53 @@ def simhash_pairs(
     max_hamming: int = 3,
 ) -> DataFrame:
     """Near-dup pairs by SimHash banding (4 x 16-bit bands; any band equal
-    -> candidate; verify Hamming distance <= max_hamming)."""
+    -> candidate; verify Hamming distance <= max_hamming). Recall is
+    pigeonhole-complete only while max_hamming < 4; larger radii are
+    probabilistic, like all SimHash deployments."""
     sig = simhash_signatures_expr(df, id_col, text_col)
-    banded = sig.select(
-        "id", "sh",
+    return banded_hamming_pairs(sig, "id", "sh", n_bands=4,
+                                max_hamming=max_hamming)
+
+
+def banded_hamming_pairs(
+    sig: DataFrame, id_col: str, sig_col: str,
+    n_bands: int = 4, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs over any 64-bit signature column by banded hamming
+    join: split the signature into n_bands equal bands; candidates share a
+    (band_idx, band_value) key; the exact bit_count verify runs on
+    candidates only — never an all-pairs join. By pigeonhole, recall is
+    COMPLETE whenever max_hamming < n_bands; band width is the scale knob
+    (fewer/wider bands -> colder buckets at petabyte scale at the cost of
+    guaranteed-recall radius). Shared by simhash_pairs (text) and
+    image_dup_pairs (dHash). Returns (id_a, id_b, hamming:int), id_a < id_b.
+    """
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    base = sig.filter(F.col(sig_col).isNotNull()) \
+              .select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+    bands = base.select(
+        "id", "sig",
         F.explode(F.array(*[
-            F.struct(F.lit(b).alias("band"),
-                     F.shiftright("sh", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("bkey"))
-            for b in range(4)
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("sig", width * i).bitwiseAND(F.lit(mask)).alias("bkey"),
+            ) for i in range(n_bands)
         ])).alias("bb"),
-    ).select("id", "sh", "bb.band", "bb.bkey")
-    a, b = banded.alias("a"), banded.alias("b")
+    ).select("id", "sig", "bb.band", "bb.bkey")
+    a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "bkey"]).filter(F.col("a.id") < F.col("b.id"))
          .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+                 F.col("a.sig").alias("s_a"), F.col("b.sig").alias("s_b"))
          .dropDuplicates(["id_a", "id_b"])
     )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.withColumn("hamming", ham).filter(ham <= max_hamming) \
-               .select("id_a", "id_b", "hamming")
+    ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).cast("int")
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
 
 
 # ------------------------------------------------------------ ngram jaccard --

@@ -286,32 +286,17 @@ def image_dup_pairs(features: DataFrame, max_hamming: int = 6,
     Input: output of extract_media_features (needs media_id + dhash).
     Output: (id_a, id_b, hamming:int) with id_a < id_b.
     """
-    if not 64 % n_bands == 0:
-        raise ValueError("n_bands must divide 64")
-    width = 64 // n_bands
-    mask = (1 << width) - 1
-    sig = features.filter(F.col("dhash").isNotNull()) \
-                  .select(F.col("media_id").alias("id"), "dhash")
-    bands = sig.select(
-        "id", "dhash",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.shiftright("dhash", width * i).bitwiseAND(F.lit(mask)).alias("bkey"),
-            ) for i in range(n_bands)
-        ])).alias("bb"),
-    ).select("id", "dhash", "bb.band", "bb.bkey")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, ["band", "bkey"]).filter(F.col("a.id") < F.col("b.id"))
-         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                 F.col("a.dhash").alias("h_a"), F.col("b.dhash").alias("h_b"))
-         .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int")
-    return (cand.withColumn("hamming", ham)
-                .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
+    from docvision_spark.functions.dedup import banded_hamming_pairs
+
+    if max_hamming >= n_bands:
+        # the documented contract here is COMPLETE recall (the SQL oracle
+        # depends on it) — refuse configs that silently lose pairs
+        raise ValueError(
+            f"image_dup_pairs requires max_hamming < n_bands for complete "
+            f"recall (got {max_hamming} >= {n_bands}); raise n_bands or use "
+            f"banded_hamming_pairs directly for probabilistic recall")
+    return banded_hamming_pairs(features, "media_id", "dhash",
+                                n_bands=n_bands, max_hamming=max_hamming)
 
 
 def synthesize_media(df: DataFrame, id_col: str = "doc_id",

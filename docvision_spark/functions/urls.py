@@ -2,21 +2,25 @@
 
 A web-scale crawl dedups at three levels: exact content (t05), near-dup
 content (d01/d02), and URL identity — the same resource crawled as
-`HTTP://Example.COM:80/a/../b/?utm_source=x#frag` and
-`http://example.com/b/` must collapse BEFORE fetch/extract cost is paid.
-Canonicalization rules (conservative subset of RFC 3986 normalization +
-standard tracking-param strip):
+`HTTP://Example.COM:80/a//b/?utm_source=x#frag` and `http://example.com/a/b`
+must collapse BEFORE fetch/extract cost is paid. Canonicalization rules
+(conservative subset of RFC 3986 normalization + standard tracking-param
+strip):
 
   1. scheme + host lowercased
   2. default ports stripped (:80 http, :443 https)
   3. fragment stripped
   4. tracking query params dropped (utm_*, fbclid, gclid, ref); a query
      left empty by the strip loses its '?'
-  5. duplicate slashes in the path collapsed; trailing slash dropped
-     (except root)
+  5. duplicate slashes in the PATH collapsed; trailing path slash dropped
+     (except root) — the query string is never touched by path rules
+     (an embedded `?u=http://other//x` must survive verbatim)
 
-Every rule is a regexp_replace chain with identical Java-regex/RE2
-semantics, so the DuckDB oracle runs the same expressions.
+The URL is split into (scheme://host, path, query) and each rule runs on
+its own segment, in BOTH engines — `canonical_url_sql` builds the same
+segment pipeline for DuckDB (RE2), with explicit 'g' flags wherever the
+Spark side replaces globally. A URL that does not parse (no scheme://host)
+passes through with only the fragment stripped — opaque, never mangled.
 """
 
 from __future__ import annotations
@@ -24,53 +28,65 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# tracked params dropped from query strings (lowercase-matched as-is; the
+# query's case is preserved so only literally-lowercase params match — the
+# conservative choice)
+_TRACK = r"(?:utm_[a-z]+|fbclid|gclid|ref)"
+# a run of tracked params followed by a kept param: '?utm_a=1&utm_b=2&x=1'
+_TRACK_RUN_MID = rf"([?&])(?:{_TRACK}=[^&#]*&)+"
+# a trailing run of tracked params: '...&utm_a=1&utm_b=2' / '?utm_a=1'
+_TRACK_RUN_END = rf"[?&]{_TRACK}=[^&#]*(?:&{_TRACK}=[^&#]*)*$"
+_HEAD = r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)"
+
+
 def canonical_url(col: Column) -> Column:
     """Apply the canonicalization chain. Pure expressions, no UDF."""
-    u = F.trim(col)
-    # fragment off first (everything after is case-preserved user data)
-    u = F.regexp_replace(u, r"#.*$", "")
-    # lowercase scheme+host only: split at the first '/', '?' or end
-    head = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)", 1)
+    u = F.regexp_replace(F.trim(col), r"#.*$", "")  # fragment off first
+    head = F.regexp_extract(u, _HEAD, 1)
     tail = F.substring(u, F.length(head) + 1, F.lit(1 << 30))
-    u = F.concat(F.lower(head), tail)
-    # default ports
-    u = F.regexp_replace(u, r"^(http://[^/?:]+):80(/|\?|$)", r"$1$2")
-    u = F.regexp_replace(u, r"^(https://[^/?:]+):443(/|\?|$)", r"$1$2")
-    # tracking params (leading '?p=v&' / '&p=v' / lone '?p=v')
-    u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&", r"$1")
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$", "")
-    # repeat once for adjacent tracked params left by the first pass
-    u = F.regexp_replace(u, r"([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&", r"$1")
-    u = F.regexp_replace(u, r"[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$", "")
-    # dangling '?'
-    u = F.regexp_replace(u, r"\?$", "")
-    # duplicate path slashes (not the scheme's //)
-    u = F.regexp_replace(u, r"(?<!:)//+", "/")
-    # trailing slash (keep root '/')
-    u = F.regexp_replace(u, r"(://[^/?]+/[^?]*?)/(\?|$)", r"$1$2")
-    return u
+    qpos = F.instr(tail, "?")
+    path = F.when(qpos > 0, F.substring(tail, F.lit(1), qpos - 1)).otherwise(tail)
+    query = F.when(qpos > 0, F.substring(tail, qpos, F.lit(1 << 30))).otherwise(F.lit(""))
+
+    lhead = F.lower(head)
+    lhead = F.regexp_replace(lhead, r"^(http://[^:/]+):80$", r"$1")
+    lhead = F.regexp_replace(lhead, r"^(https://[^:/]+):443$", r"$1")
+
+    path = F.regexp_replace(path, r"//+", "/")
+    path = F.when(path != "/", F.regexp_replace(path, r"/$", "")).otherwise(path)
+
+    query = F.regexp_replace(query, _TRACK_RUN_MID, r"$1")
+    query = F.regexp_replace(query, _TRACK_RUN_END, "")
+    query = F.regexp_replace(query, r"^\?$", "")
+
+    # unparseable url (no scheme://host): pass through fragment-stripped
+    return F.when(F.length(head) > 0,
+                  F.concat(lhead, path, query)).otherwise(u)
 
 
-# DuckDB twins of the same chain: (pattern, replacement, flags). Java's $1
-# backrefs become RE2's \1; the lookbehind in the slash rule is expressed
-# differently (RE2 has no lookbehind).
 def canonical_url_sql(col: str) -> str:
-    e = f"trim({col})"
-    e = f"regexp_replace({e}, '#.*$', '')"
-    head = f"regexp_extract({e}, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)"
-    e = f"(lower({head}) || substring({e}, length({head}) + 1))"
-    e = f"regexp_replace({e}, '^(http://[^/?:]+):80(/|\\?|$)', '\\1\\2')"
-    e = f"regexp_replace({e}, '^(https://[^/?:]+):443(/|\\?|$)', '\\1\\2')"
-    for _ in range(2):
-        e = f"regexp_replace({e}, '([?&])(utm_[a-z]+|fbclid|gclid|ref)=[^&#]*&', '\\1')"
-        e = f"regexp_replace({e}, '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*$', '')"
-    e = f"regexp_replace({e}, '\\?$', '')"
-    # RE2 lookbehind workaround: protect '://' then collapse then restore
-    e = f"regexp_replace({e}, '://', chr(1))"
-    e = f"regexp_replace({e}, '//+', '/', 'g')"
-    e = f"regexp_replace({e}, chr(1), '://')"
-    e = f"regexp_replace({e}, '(://[^/?]+/[^?]*?)/(\\?|$)', '\\1\\2')"
-    return e
+    """DuckDB twin of canonical_url — same segments, same rules, RE2
+    syntax ('\\1' backrefs, explicit 'g' flags where Spark is global)."""
+    u = f"regexp_replace(trim({col}), '#.*$', '')"
+    head = f"regexp_extract({u}, '{_HEAD}', 1)"
+    tail = f"substring({u}, length({head}) + 1)"
+    qpos = f"strpos({tail}, '?')"
+    path = f"(case when {qpos} > 0 then substring({tail}, 1, {qpos} - 1) else {tail} end)"
+    query = f"(case when {qpos} > 0 then substring({tail}, {qpos}) else '' end)"
+
+    lhead = f"lower({head})"
+    lhead = f"regexp_replace({lhead}, '^(http://[^:/]+):80$', '\\1')"
+    lhead = f"regexp_replace({lhead}, '^(https://[^:/]+):443$', '\\1')"
+
+    path = f"regexp_replace({path}, '//+', '/', 'g')"
+    path = f"(case when {path} <> '/' then regexp_replace({path}, '/$', '') else {path} end)"
+
+    query = f"regexp_replace({query}, '{_TRACK_RUN_MID}', '\\1', 'g')"
+    query = f"regexp_replace({query}, '{_TRACK_RUN_END}', '')"
+    query = f"regexp_replace({query}, '^\\?$', '')"
+
+    return (f"(case when length({head}) > 0 "
+            f"then {lhead} || {path} || {query} else {u} end)")
 
 
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -78,8 +94,15 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Keep one row per canonical url (lowest original url wins —
-    deterministic, monotone policy; same shape as exact_dedup)."""
-    c = with_canonical_url(df, url_col)
+    """Keep one row per canonical url, lowest original url winning
+    (deterministic, monotone policy; same shape as exact_dedup). Exact
+    same-url re-crawls are also collapsed (dropDuplicates on the url before
+    the group-min join — the join alone would keep every copy of the
+    winner). Null-url rows pass through untouched: they cannot be deduped,
+    and silently dropping them would hide upstream corruption."""
+    nulls = df.filter(F.col(url_col).isNull()) \
+              .withColumn("canonical_url", F.lit(None).cast("string"))
+    c = with_canonical_url(df.filter(F.col(url_col).isNotNull()), url_col) \
+        .dropDuplicates([url_col])
     keep = c.groupBy("canonical_url").agg(F.min(url_col).alias(url_col))
-    return c.join(keep, ["canonical_url", url_col])
+    return c.join(keep, ["canonical_url", url_col]).unionByName(nulls)

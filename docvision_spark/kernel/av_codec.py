@@ -117,14 +117,21 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, float]:
             num, den = t[1:].split(":")
             fps = round(int(num) / int(den), 3)
         elif t.startswith("C"):
-            subsampling = t[1:].rstrip("jpegmpeg2p")  # C420jpeg/C420mpeg2/C444
+            # explicit suffix removal (NOT rstrip — that strips a char SET
+            # and would mangle C422 to '4' / let C420p10 through as 420)
+            s = t[1:]
+            for suf in ("jpeg", "mpeg2", "paldv"):
+                s = s.removesuffix(suf)
+            subsampling = s
     if w <= 0 or h <= 0:
         raise AvDecodeError("y4m: missing W/H")
-    if subsampling.startswith("420"):
+    if subsampling == "420":
         frame_bytes = w * h * 3 // 2
-    elif subsampling.startswith("444"):
+    elif subsampling == "444":
         frame_bytes = w * h * 3
     else:
+        # exact match only: C420p10 (10-bit) / C444alpha (4 planes) change
+        # the frame byte layout and must be rejected, not misread
         raise AvDecodeError(f"y4m: unsupported subsampling C{subsampling}")
     frames = []
     pos = nl + 1

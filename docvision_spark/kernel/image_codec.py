@@ -514,7 +514,6 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     codes: list[int] = [clear]
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
-    code_size_seq = []
     cur = b""
     for px in idx2.reshape(-1).tobytes():
         nxt = cur + bytes([px])

@@ -360,6 +360,15 @@ def test_canonical_url_and_dedup(spark):
         ("http://example.com/path?utm_source=a", "http://example.com/path"),
         ("https://Sub.Example.com/UPPER/Case?Q=V", "https://sub.example.com/UPPER/Case?Q=V"),
         ("http://example.com/a/?ref=home", "http://example.com/a"),
+        # adjacent tracked-param runs (the GA 5-param form) strip in one pass
+        ("http://e.com/?utm_a=1&utm_b=2&utm_c=3&utm_d=4&x=1", "http://e.com/?x=1"),
+        # separated tracked params all strip
+        ("http://e.com/?utm_a=1&x=1&utm_b=2&y=1&utm_c=3&z=1", "http://e.com/?x=1&y=1&z=1"),
+        # path rules must never touch the query (embedded url survives)
+        ("http://a.com/r?u=http://b.com//x", "http://a.com/r?u=http://b.com//x"),
+        ("http://a.com/r?u=http://b.com/x/", "http://a.com/r?u=http://b.com/x/"),
+        # unparseable url passes through fragment-stripped, never mangled
+        ("not a url at all#frag", "not a url at all"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
@@ -367,10 +376,11 @@ def test_canonical_url_and_dedup(spark):
 
     variants = spark.createDataFrame(
         [("http://a.com/x",), ("HTTP://A.com/x/#top",), ("http://a.com/x?utm_source=s",),
-         ("http://b.com/y",)], "url string")
+         ("http://b.com/y",), ("http://b.com/y",)], "url string")  # + exact re-crawl
     kept = url_dedup(variants).collect()
-    assert {r["url"] for r in kept} == {"HTTP://A.com/x/#top", "http://b.com/y"} or \
-           {r["url"] for r in kept} == {"http://a.com/x", "http://b.com/y"}
+    # exactly ONE row per canonical form: the exact re-crawl of b.com/y must
+    # also collapse (a bare group-min join would keep both copies)
+    assert len(kept) == 2
     # keep-lowest-url is deterministic: 'HTTP://...' < 'http://...' in ASCII
     assert {r["url"] for r in kept} == {"HTTP://A.com/x/#top", "http://b.com/y"}
 

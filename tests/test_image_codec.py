@@ -268,7 +268,10 @@ def test_image_dup_pairs_planted(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     feats = extract_media_features(df)
     pairs = {(r["id_a"], r["id_b"]): r["hamming"]
-             for r in image_dup_pairs(feats, max_hamming=8).collect()}
+             for r in image_dup_pairs(feats, max_hamming=8, n_bands=16).collect()}
+    # the completeness precondition is enforced, not just documented
+    with pytest.raises(ValueError):
+        image_dup_pairs(feats, max_hamming=8, n_bands=8)
     assert (0, 100) in pairs and (1, 101) in pairs
     # distinct-seed images must NOT pair
     for (a, b) in pairs:
