@@ -17,11 +17,26 @@ Scale notes (the 100 TB design):
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from docvision_spark.functions.text import fingerprint_md5, normalized
+
+
+def _threshold_ratio(threshold: float) -> tuple[int, int]:
+    """Small exact rational for a jaccard threshold (0.8 -> 4/5).
+
+    float.as_integer_ratio() would give the exact BINARY rational
+    (0.8 -> 3602879701896397/4503599627370496), whose products overflow
+    int64 for n_inter >= 2048 — a hard crash under Spark 4's default ANSI
+    mode — and which also rejects pairs at exactly the intended threshold
+    (4/5 < the binary value). limit_denominator keeps the comparison in
+    small exact integers and matches the user's decimal intent."""
+    f = Fraction(threshold).limit_denominator(1000)
+    return f.numerator, f.denominator
 
 # ----------------------------------------------------------------- exact --
 
@@ -226,7 +241,7 @@ def minhash_lsh_pairs(
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    num, den = jaccard_threshold.as_integer_ratio()
+    num, den = _threshold_ratio(jaccard_threshold)
     return (
         cand.withColumn("n_inter", inter).withColumn("n_union", union)
             .filter(F.col("n_inter") * den >= F.col("n_union") * num)
@@ -323,6 +338,10 @@ def simhash_signatures_expr(
             F.when(F.element_at(counts, k + 1) * 2 > n,
                    F.shiftleft(F.lit(1).cast("long"), k))
             .otherwise(F.lit(0).cast("long")))
+    # NULL text must yield a NULL signature, not 0 — otherwise every
+    # NULL-text doc pairs with every other at hamming 0 (the agg variant
+    # drops such docs via explode; pairs-wise the two agree: no pair)
+    sig = F.when(n.isNotNull(), sig)
     return staged.select("id", sig.alias("sh"))
 
 
@@ -380,6 +399,41 @@ def banded_hamming_pairs(
                 .select("id_a", "id_b", "hamming"))
 
 
+# ------------------------------------------------------- inverted index ----
+
+def inverted_candidates(postings: DataFrame,
+                        max_postings: int | None) -> DataFrame:
+    """Distinct candidate pairs from an inverted index: postings is
+    (id, key); documents sharing >= 1 key pair up — never an all-pairs
+    cross join. Keys present in > max_postings docs (stop-shingles /
+    boilerplate fingerprints) are dropped from the INDEX only — the
+    standard recall/cost knob; callers re-verify candidates exactly on the
+    full sets. Shared by ngram_jaccard_pairs and winnow_overlap_pairs.
+    Returns (id_a, id_b) with id_a < id_b."""
+    if max_postings is not None:
+        hot = (postings.groupBy("key").count()
+                       .filter(F.col("count") > max_postings).select("key"))
+        postings = postings.join(hot, "key", "left_anti")
+    a, b = postings.alias("a"), postings.alias("b")
+    return (
+        a.join(b, "key").filter(F.col("a.id") < F.col("b.id"))
+         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+         .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def join_back_sets(cand: DataFrame, sets_df: DataFrame,
+                   set_col: str = "sh") -> DataFrame:
+    """Attach each candidate side's full set column for exact verification
+    (sets ride this narrow join only — never the inverted index)."""
+    return (
+        cand.join(sets_df.select(F.col("id").alias("id_a"),
+                                 F.col(set_col).alias(f"{set_col}_a")), "id_a")
+            .join(sets_df.select(F.col("id").alias("id_b"),
+                                 F.col(set_col).alias(f"{set_col}_b")), "id_b")
+    )
+
+
 # ------------------------------------------------------------ ngram jaccard --
 
 def ngram_jaccard_pairs(
@@ -402,28 +456,14 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("id"),
         word_shingles(F.col(text_col), k).alias("sh"),
     )
-    postings = sh.select("id", F.explode("sh").alias("g"))
-    if max_postings is not None:
-        hot = (postings.groupBy("g").count()
-                       .filter(F.col("count") > max_postings).select("g"))
-        postings = postings.join(hot, "g", "left_anti")
-    a, b = postings.alias("a"), postings.alias("b")
-    cand = (
-        a.join(b, "g").filter(F.col("a.id") < F.col("b.id"))
-         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-         .dropDuplicates(["id_a", "id_b"])
-    )
+    postings = sh.select("id", F.explode("sh").alias("key"))
+    cand = inverted_candidates(postings, max_postings)
     # exact verification on candidates only: full shingle sets joined in
     # here, never shuffled through the inverted index
-    cand = (
-        cand.join(sh.select(F.col("id").alias("id_a"),
-                            F.col("sh").alias("sh_a")), "id_a")
-            .join(sh.select(F.col("id").alias("id_b"),
-                            F.col("sh").alias("sh_b")), "id_b")
-    )
+    cand = join_back_sets(cand, sh, "sh")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    num, den = threshold.as_integer_ratio()
+    num, den = _threshold_ratio(threshold)
     return (
         cand.withColumn("n_inter", inter).withColumn("n_union", union)
             .filter(F.col("n_inter") * den >= F.col("n_union") * num)
@@ -454,9 +494,10 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionAll(pairs.select(F.col(id_b).alias("src"),
                                     F.col(id_a).alias("dst")))
-    )
+    ).localCheckpoint()  # else every iteration re-runs pair generation
     labels = (edges.select(F.col("src").alias("id")).distinct()
                    .withColumn("lbl", F.col("id")).localCheckpoint())
+    converged = False
     for _ in range(max_iter):
         nbr = (edges.join(labels, edges.src == labels.id)
                     .groupBy(F.col("dst").alias("id"))
@@ -472,5 +513,12 @@ def connected_components(
                    .filter(F.col("n.lbl") != F.col("o.lbl")).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # loud beats wrong: partial labels would under-merge clusters and a
+        # keep-one-per-cluster dedup would silently retain duplicates
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations (component diameter exceeds max_iter)")
     return labels.select("id", F.col("lbl").alias("cluster_id"))

@@ -147,27 +147,16 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import functions as F
 
+    from docvision_spark.functions.dedup import (
+        inverted_candidates, join_back_sets)
+
     fps = winnow_fingerprints(df, id_col, text_col, k, w) \
         .select(F.col("doc_id").alias("id"), "fingerprints")
-    postings = fps.select("id", F.explode("fingerprints").alias("fp"))
-    if max_postings is not None:
-        hot = (postings.groupBy("fp").count()
-                       .filter(F.col("count") > max_postings).select("fp"))
-        postings = postings.join(hot, "fp", "left_anti")
-    a, b = postings.alias("a"), postings.alias("b")
-    cand = (
-        a.join(b, "fp").filter(F.col("a.id") < F.col("b.id"))
-         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-         .dropDuplicates(["id_a", "id_b"])
-    )
-    cand = (
-        cand.join(fps.select(F.col("id").alias("id_a"),
-                             F.col("fingerprints").alias("fp_a")), "id_a")
-            .join(fps.select(F.col("id").alias("id_b"),
-                             F.col("fingerprints").alias("fp_b")), "id_b")
-    )
+    postings = fps.select("id", F.explode("fingerprints").alias("key"))
+    cand = join_back_sets(inverted_candidates(postings, max_postings),
+                          fps, "fingerprints")
     shared = F.size(F.array_intersect(
-        F.array_distinct("fp_a"), F.array_distinct("fp_b")))
+        F.array_distinct("fingerprints_a"), F.array_distinct("fingerprints_b")))
     return (cand.withColumn("n_shared", shared)
                 .filter(F.col("n_shared") >= min_shared)
                 .select("id_a", "id_b", "n_shared"))

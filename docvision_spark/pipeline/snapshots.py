@@ -77,19 +77,22 @@ def commit(table_dir: str, staging: str, data_dir: str, row_count: int) -> str:
         "row_count_delta": row_count,
         "files": (prev["files"] if prev else []) + moved,
     }
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic publish
     # immutable per-snapshot manifest (Iceberg metadata-log analogue) —
-    # written BEFORE the current-pointer flip so history is never ahead of
-    # the published state; enables time-travel reads (read_table(as_of=...))
+    # written AFTER the pointer flip: a crash in between must never leave a
+    # never-published snapshot in history (its sequence number would be
+    # reused by the next commit, making as_of=<seq> ambiguous). The reverse
+    # gap — published but missing from history — is self-healed by
+    # snapshot_log() merging the current manifest.
     log_dir = os.path.join(table_dir, "snapshots")
     os.makedirs(log_dir, exist_ok=True)
     with open(os.path.join(log_dir,
                            f"{manifest['sequence']:06d}-{snapshot_id}.json"),
               "w") as f:
         json.dump(manifest, f, indent=1)
-    tmp = _manifest_path(table_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, _manifest_path(table_dir))  # atomic publish
     return snapshot_id
 
 
@@ -105,15 +108,24 @@ def committed_urls(spark: SparkSession, table_dir: str) -> DataFrame | None:
 
 
 def snapshot_log(table_dir: str) -> list[dict]:
-    """All committed snapshots, oldest first (Iceberg history analogue)."""
+    """All committed snapshots, oldest first (Iceberg history analogue).
+    Self-heals the crash window where the current manifest was published
+    but its history file was not yet written."""
     log_dir = os.path.join(table_dir, "snapshots")
-    if not os.path.isdir(log_dir):
-        return []
     out = []
-    for fn in sorted(os.listdir(log_dir)):
-        if fn.endswith(".json"):
-            with open(os.path.join(log_dir, fn)) as f:
-                out.append(json.load(f))
+    if os.path.isdir(log_dir):
+        for fn in sorted(os.listdir(log_dir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(log_dir, fn)) as f:
+                    out.append(json.load(f))
+    cur = read_manifest(table_dir)
+    if cur and cur["snapshot_id"] not in {s["snapshot_id"] for s in out}:
+        out.append(cur)
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(
+                log_dir,
+                f"{cur['sequence']:06d}-{cur['snapshot_id']}.json"), "w") as f:
+            json.dump(cur, f, indent=1)
     return out
 
 

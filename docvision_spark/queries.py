@@ -437,7 +437,7 @@ def c02_contamination(spark: SparkSession, sf: str) -> DataFrame:
     a doc containing any probe is flagged. The 100 TB shape: tiny probe set
     broadcast, corpus scanned once, no shuffle of the corpus."""
     d = load(spark, sf, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = text.normalized(F.col("text"))
     probes = (d.filter(F.col("doc_id") < 5)
                 .select(F.col("doc_id").alias("probe_id"),
                         F.substring(norm, 1, 40).alias("probe"))
@@ -517,7 +517,7 @@ def t05_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
 # operators' SEMANTIC correctness is separately pytest-gated (planted-dup
 # recall, no-false-positive, parity and recall tests in tests/).
 _TWIN_DIR = os.path.join(REPO, "data", "twin")
-_TWIN_REV = 1
+_TWIN_REV = 2  # rev 2: exact rational jaccard thresholds (0.8 -> 4/5)
 
 
 def _twin(spark: SparkSession, sf: str, name: str, df: DataFrame) -> DataFrame:
@@ -587,8 +587,10 @@ def d05_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
     if os.path.exists(marker):
         try:
             with open(marker) as fh:
-                fresh = (_json.load(fh).get("tier") == tier
-                         and os.path.exists(path))
+                meta = _json.load(fh)
+            fresh = (meta.get("tier") == tier
+                     and meta.get("rev") == _TWIN_REV
+                     and os.path.exists(path))
         except (OSError, ValueError):
             pass
     if not fresh:
@@ -596,7 +598,7 @@ def d05_winnow_overlap(spark: SparkSession, sf: str) -> DataFrame:
             .write.mode("overwrite").parquet(path)
         os.makedirs(_TWIN_DIR, exist_ok=True)
         with open(marker, "w") as fh:
-            _json.dump({"tier": tier}, fh)
+            _json.dump({"tier": tier, "rev": _TWIN_REV}, fh)
     return winnow_overlap_pairs(d, min_shared=3, max_postings=None)
 
 
@@ -689,8 +691,11 @@ def x03_host_stats(spark: SparkSession, sf: str) -> DataFrame:
 
     _xcache(spark, sf)
     out = extract_pages(read_pages(spark, pages_for(sf)))
+    # host via the SAME regex as the oracle (parse_url and a regex disagree
+    # on ports/userinfo/query-only urls — one spec, two engines)
     return (
-        out.withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+        out.withColumn("host",
+                       F.regexp_extract("url", r"^[a-z]+://([^/:?#]+)", 1))
            .groupBy("host")
            .agg(F.count("*").alias("n_docs"),
                 F.sum(F.length("text")).alias("chars_out"),
@@ -1373,7 +1378,7 @@ def oracle_sql() -> dict[str, str]:
             group by processing_mode, lang
         """,
         "x03_host_stats": f"""
-            select regexp_extract(url, '^[a-z]+://([^/]+)', 1) as host,
+            select regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) as host,
                    count(*) as n_docs,
                    sum(n_chars)::bigint as chars_out,
                    sum(bytes_in)::bigint as bytes_in

@@ -31,12 +31,18 @@ def dedup_pages_stream(pages: DataFrame, watermark: str = "1 day") -> DataFrame:
     fingerprint are dropped while the state entry lives (until the
     watermark passes its event time). Output keeps the full page row plus
     the fingerprint column.
+
+    NULL-text rows bypass dedup entirely: dropDuplicates treats NULL as a
+    joinable key, so routing them through the stateful operator would
+    silently collapse every null-text page onto the first one — data loss
+    disguised as dedup. They flow through unchanged (fp NULL) for the
+    downstream extraction stage to classify as error rows.
     """
-    return (
-        pages.withWatermark("warc_ts", watermark)
-             .withColumn("fp", fingerprint_md5(F.col("text")))
-             .dropDuplicatesWithinWatermark(["fp"])
-    )
+    marked = (pages.withWatermark("warc_ts", watermark)
+                   .withColumn("fp", fingerprint_md5(F.col("text"))))
+    deduped = marked.filter(F.col("fp").isNotNull()) \
+                    .dropDuplicatesWithinWatermark(["fp"])
+    return deduped.unionByName(marked.filter(F.col("fp").isNull()))
 
 
 def start_dedup_query(
