@@ -87,12 +87,17 @@ def main() -> None:
     qtimes: dict[str, float] = {}
     reg = queries()
     for name in HEADLINE:
+        # up to best-of-3 (the shared host is noisy, 4-8x swings between
+        # attempts) with early exit once a clean sub-2s attempt is seen, so
+        # a degraded window can't triple the bench wall time
         best = float("inf")
-        for _ in range(3):  # best-of-3: the shared host is noisy (4-8x swings)
+        for _ in range(3):
             t0 = time.perf_counter()
             df = reg[name](spark, SF_DIR)
             df.count()
             best = min(best, time.perf_counter() - t0)
+            if best < 2.0:
+                break
         qtimes[name] = round(best, 3)
 
     total = round(ext["wall_s"] + sum(qtimes.values()), 3)
