@@ -332,16 +332,25 @@ def simhash_signatures_expr(
         "(acc, h) -> zip_with(acc, transform(sequence(0, 63), "
         "i -> shiftright(h, i) & 1), (a, b) -> a + b))")
     n = F.col("_n")
-    sig = F.lit(0).cast("long")
-    for k in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.element_at(counts, k + 1) * 2 > n,
-                   F.shiftleft(F.lit(1).cast("long"), k))
-            .otherwise(F.lit(0).cast("long")))
+
+    def _fold(c: Column) -> Column:
+        # c is let_-bound: the counts aggregate evaluates ONCE per row.
+        # Referencing the raw `counts` expression 64x would be fine in an
+        # unconditional projection (codegen CSE collapses it) but the
+        # NULL-guarding when() below makes this branch CONDITIONAL, where
+        # Spark skips subexpression elimination — measured 25x slower.
+        s = F.lit(0).cast("long")
+        for k in range(64):
+            s = s.bitwiseOR(
+                F.when(F.element_at(c, k + 1) * 2 > n,
+                       F.shiftleft(F.lit(1).cast("long"), k))
+                .otherwise(F.lit(0).cast("long")))
+        return s
+
     # NULL text must yield a NULL signature, not 0 — otherwise every
     # NULL-text doc pairs with every other at hamming 0 (the agg variant
     # drops such docs via explode; pairs-wise the two agree: no pair)
-    sig = F.when(n.isNotNull(), sig)
+    sig = F.when(n.isNotNull(), let_(counts, _fold))
     return staged.select("id", sig.alias("sh"))
 
 
@@ -375,8 +384,14 @@ def banded_hamming_pairs(
         raise ValueError("n_bands must divide 64")
     width = 64 // n_bands
     mask = (1 << width) - 1
+    # materialize (id, sig) before banding: the self-join would otherwise
+    # re-evaluate the signature expression tree (deep HOF aggregates /
+    # python decode stages) on BOTH join sides and inside the explode —
+    # measured 25x on d02 at sf0.1. Two longs per row; truncating lineage
+    # here is strictly cheaper than any recompute.
     base = sig.filter(F.col(sig_col).isNotNull()) \
-              .select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig"))
+              .select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")) \
+              .localCheckpoint()
     bands = base.select(
         "id", "sig",
         F.explode(F.array(*[
