@@ -28,6 +28,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "48000"))
 
+# Early-exit thresholds for the best-of-3 retry loop, derived from the
+# BENCH/BASELINE.md record rather than hardcoded at the target value: an
+# attempt within 25% of the best uncontended rate ever recorded on this host
+# is accepted as "clean window" evidence and stops the retries. Override the
+# record via env if the host profile changes.
+RECORD_DOCS_PER_SEC = float(os.environ.get("BENCH_RECORD_DPS", "6813"))
+EXTRACT_CLEAN_DPS = RECORD_DOCS_PER_SEC * 0.66
+QUERY_CLEAN_S = float(os.environ.get("BENCH_QUERY_CLEAN_S", "2.0"))
+
 # headline queries timed at SF_DIR (subset of the full registry: one per
 # operator family; full coverage runs in the driver's correctness pass)
 HEADLINE = [
@@ -68,7 +77,7 @@ def bench_extraction(spark, n_docs: int) -> dict:
         wall = time.perf_counter() - t0
         attempts.append(round(wall, 3))
         best_wall = min(best_wall, wall)
-        if n / wall >= 4500:
+        if n / wall >= EXTRACT_CLEAN_DPS:
             break
     return {"docs": n, "wall_s": round(best_wall, 3),
             "docs_per_sec": round(n / best_wall, 1),
@@ -85,22 +94,26 @@ def main() -> None:
     ext = bench_extraction(spark, BENCH_DOCS)
 
     qtimes: dict[str, float] = {}
+    qattempts: dict[str, list[float]] = {}
     reg = queries()
     for name in HEADLINE:
         # up to best-of-3 (the shared host is noisy, 4-8x swings between
-        # attempts) with early exit once a clean sub-2s attempt is seen, so
-        # a degraded window can't triple the bench wall time
-        best = float("inf")
+        # attempts) with early exit once a clean attempt is seen, so a
+        # degraded window can't triple the bench wall time. All attempt
+        # walls are recorded so best-vs-median skew is visible in the output.
+        walls: list[float] = []
         for _ in range(3):
             t0 = time.perf_counter()
             df = reg[name](spark, SF_DIR)
             df.count()
-            best = min(best, time.perf_counter() - t0)
-            if best < 2.0:
+            walls.append(round(time.perf_counter() - t0, 3))
+            if walls[-1] < QUERY_CLEAN_S:
                 break
-        qtimes[name] = round(best, 3)
+        qtimes[name] = min(walls)
+        qattempts[name] = walls
 
     total = round(ext["wall_s"] + sum(qtimes.values()), 3)
+    medians = {k: sorted(v)[len(v) // 2] for k, v in qattempts.items()}
     result = {
         "metric": "extraction docs/sec + headline query seconds",
         "value": total,
@@ -108,6 +121,8 @@ def main() -> None:
         "queries": {"extract": ext["wall_s"], **qtimes},
         "sf": SF_DIR,
         "extraction": ext,
+        "query_attempts": qattempts,
+        "query_medians": medians,
         "cpus": CPUS,
     }
     print(json.dumps(result))

@@ -26,6 +26,22 @@ from pyspark.sql.window import Window
 from docvision_spark.functions.text import fingerprint_md5, normalized
 
 
+def parallelize_input(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition an UNDERPARTITIONED input before a CPU-heavy projection.
+
+    A small parquet table scans as a handful of splits (often one), which
+    serializes signature/shingle computation on one core — a test-scale
+    artifact. At 100 TB the input has orders of magnitude more splits than
+    cores and this returns the input unchanged (no shuffle is ever added on
+    a properly-partitioned table).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _threshold_ratio(threshold: float) -> tuple[int, int]:
     """Small exact rational for a jaccard threshold (0.8 -> 4/5).
 
@@ -194,10 +210,15 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     mk = char_shingles if shingle_mode == "char" else word_shingle_hashes
-    shingled = df.select(
+    # shingled feeds THREE consumers (signatures + both verify join-backs);
+    # materialize it once so the shingling HOF is never re-evaluated, and
+    # never evaluated on both sides of a self-join. localCheckpoint spills
+    # to executor-local storage — at 100 TB this is one shuffle-spill-sized
+    # write, strictly cheaper than 3x recompute of the shingling pass.
+    shingled = parallelize_input(df).select(
         F.col(id_col).alias("id"),
         mk(F.col(text_col), shingle_k).alias("sh"),
-    )
+    ).localCheckpoint()
     sig = minhash_signatures_expr(shingled, "id", "sh", num_hashes)
 
     # bands carry only (id, band, bkey) — never the shingle sets (an 8-way
@@ -362,7 +383,7 @@ def simhash_pairs(
     -> candidate; verify Hamming distance <= max_hamming). Recall is
     pigeonhole-complete only while max_hamming < 4; larger radii are
     probabilistic, like all SimHash deployments."""
-    sig = simhash_signatures_expr(df, id_col, text_col)
+    sig = simhash_signatures_expr(parallelize_input(df), id_col, text_col)
     return banded_hamming_pairs(sig, "id", "sh", n_bands=4,
                                 max_hamming=max_hamming)
 
@@ -388,10 +409,13 @@ def banded_hamming_pairs(
     # re-evaluate the signature expression tree (deep HOF aggregates /
     # python decode stages) on BOTH join sides and inside the explode —
     # measured 25x on d02 at sf0.1. Two longs per row; truncating lineage
-    # here is strictly cheaper than any recompute.
-    base = sig.filter(F.col(sig_col).isNotNull()) \
-              .select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")) \
-              .localCheckpoint()
+    # here is strictly cheaper than any recompute. The NULL filter runs
+    # AFTER the checkpoint: a filter UNDER the projection re-inlines the
+    # signature tree into an interpreted predicate and evaluates it twice
+    # per row (measured 8s vs 2.5s on d02 at sf0.1).
+    base = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")) \
+              .localCheckpoint() \
+              .filter(F.col("sig").isNotNull())
     bands = base.select(
         "id", "sig",
         F.explode(F.array(*[

@@ -128,7 +128,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
                              "fingerprints": fps.tolist()})
             yield pd.DataFrame(rows, columns=[f.name for f in FP_SCHEMA.fields])
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema=FP_SCHEMA)
+    from docvision_spark.functions.dedup import parallelize_input
+
+    # a small single-file scan is one split -> the whole Python winnowing
+    # stage runs on one core; no-op on a properly-partitioned big table
+    return parallelize_input(df.select(id_col, text_col)) \
+        .mapInPandas(fn, schema=FP_SCHEMA)
 
 
 def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -150,8 +155,13 @@ def winnow_overlap_pairs(df: DataFrame, id_col: str = "doc_id",
     from docvision_spark.functions.dedup import (
         inverted_candidates, join_back_sets)
 
+    # materialize the fingerprint sets ONCE: fps feeds three plan branches
+    # (the postings explode + both verify join-back sides); without the
+    # checkpoint the Python winnowing pass re-runs per branch — the same
+    # re-execution class banded_hamming_pairs checkpoints against.
     fps = winnow_fingerprints(df, id_col, text_col, k, w) \
-        .select(F.col("doc_id").alias("id"), "fingerprints")
+        .select(F.col("doc_id").alias("id"), "fingerprints") \
+        .localCheckpoint()
     postings = fps.select("id", F.explode("fingerprints").alias("key"))
     cand = join_back_sets(inverted_candidates(postings, max_postings),
                           fps, "fingerprints")

@@ -95,14 +95,37 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Keep one row per canonical url, lowest original url winning
-    (deterministic, monotone policy; same shape as exact_dedup). Exact
-    same-url re-crawls are also collapsed (dropDuplicates on the url before
-    the group-min join — the join alone would keep every copy of the
-    winner). Null-url rows pass through untouched: they cannot be deduped,
-    and silently dropping them would hide upstream corruption."""
+    (deterministic, monotone policy; same shape as exact_dedup).
+
+    Same-url re-crawls (same url, different html/warc_ts) are collapsed by
+    a DEFINED survivor policy, not dropDuplicates' partition-order pick:
+    newest warc_ts wins when the column exists, remaining ties broken by
+    every other atomic column ascending (name order). Output row CONTENT is
+    therefore stable across runs and partitionings whenever re-crawled rows
+    differ in at least one atomic (orderable) column. Null-url rows pass
+    through untouched: they cannot be deduped, and silently dropping them
+    would hide upstream corruption."""
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
     nulls = df.filter(F.col(url_col).isNull()) \
               .withColumn("canonical_url", F.lit(None).cast("string"))
-    c = with_canonical_url(df.filter(F.col(url_col).isNotNull()), url_col) \
-        .dropDuplicates([url_col])
+    base = with_canonical_url(df.filter(F.col(url_col).isNotNull()), url_col)
+    atomic = sorted(
+        f.name for f in base.schema.fields
+        if f.name not in (url_col, "canonical_url")
+        and isinstance(f.dataType, (T.StringType, T.BinaryType, T.BooleanType,
+                                    T.NumericType, T.TimestampType, T.DateType))
+    )
+    order = []
+    if "warc_ts" in atomic:
+        order.append(F.col("warc_ts").desc_nulls_last())  # newest crawl wins
+        atomic.remove("warc_ts")
+    order += [F.col(c).asc_nulls_last() for c in atomic]
+    if not order:  # url-only frame: any row is the same row
+        order = [F.lit(1)]
+    w = Window.partitionBy(url_col).orderBy(*order)
+    c = (base.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1).drop("_rn"))
     keep = c.groupBy("canonical_url").agg(F.min(url_col).alias(url_col))
     return c.join(keep, ["canonical_url", url_col]).unionByName(nulls)

@@ -30,6 +30,16 @@ def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST)
 
 
+def _write_json_atomic(path: str, obj: dict) -> None:
+    """tmp + os.replace so a crash mid-write never leaves a torn JSON
+    (history files are json.load()ed by snapshot_log — a torn file would
+    poison every subsequent log/time-travel read)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
+
+
 def read_manifest(table_dir: str) -> dict | None:
     p = _manifest_path(table_dir)
     if not os.path.exists(p):
@@ -77,10 +87,7 @@ def commit(table_dir: str, staging: str, data_dir: str, row_count: int) -> str:
         "row_count_delta": row_count,
         "files": (prev["files"] if prev else []) + moved,
     }
-    tmp = _manifest_path(table_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1)
-    os.replace(tmp, _manifest_path(table_dir))  # atomic publish
+    _write_json_atomic(_manifest_path(table_dir), manifest)  # atomic publish
     # immutable per-snapshot manifest (Iceberg metadata-log analogue) —
     # written AFTER the pointer flip: a crash in between must never leave a
     # never-published snapshot in history (its sequence number would be
@@ -89,10 +96,9 @@ def commit(table_dir: str, staging: str, data_dir: str, row_count: int) -> str:
     # snapshot_log() merging the current manifest.
     log_dir = os.path.join(table_dir, "snapshots")
     os.makedirs(log_dir, exist_ok=True)
-    with open(os.path.join(log_dir,
-                           f"{manifest['sequence']:06d}-{snapshot_id}.json"),
-              "w") as f:
-        json.dump(manifest, f, indent=1)
+    _write_json_atomic(
+        os.path.join(log_dir, f"{manifest['sequence']:06d}-{snapshot_id}.json"),
+        manifest)
     return snapshot_id
 
 
@@ -115,17 +121,25 @@ def snapshot_log(table_dir: str) -> list[dict]:
     out = []
     if os.path.isdir(log_dir):
         for fn in sorted(os.listdir(log_dir)):
-            if fn.endswith(".json"):
+            if not fn.endswith(".json"):
+                continue
+            try:
                 with open(os.path.join(log_dir, fn)) as f:
                     out.append(json.load(f))
+            except (OSError, ValueError):
+                # a torn/unreadable history file (pre-atomic-write crash
+                # debris) must not poison the whole log; the entry is
+                # re-healed from the current manifest below if it is the
+                # published snapshot, else it was never published at all
+                continue
     cur = read_manifest(table_dir)
     if cur and cur["snapshot_id"] not in {s["snapshot_id"] for s in out}:
         out.append(cur)
         os.makedirs(log_dir, exist_ok=True)
-        with open(os.path.join(
-                log_dir,
-                f"{cur['sequence']:06d}-{cur['snapshot_id']}.json"), "w") as f:
-            json.dump(cur, f, indent=1)
+        _write_json_atomic(
+            os.path.join(log_dir,
+                         f"{cur['sequence']:06d}-{cur['snapshot_id']}.json"),
+            cur)
     return out
 
 

@@ -53,9 +53,11 @@ def validation_flags(out: DataFrame) -> DataFrame:
     )
 
 
-def validation_report(out: DataFrame) -> DataFrame:
-    """Aggregate violation counts (feeds the metrics table / dashboards)."""
-    flagged = validation_flags(out)
+def validation_report(out: DataFrame, flagged: bool = False) -> DataFrame:
+    """Aggregate violation counts (feeds the metrics table / dashboards).
+    Pass flagged=True when `out` already carries the v1..v5/valid columns
+    (e.g. a materialized validation table) to skip recomputing them."""
+    flagged = out if flagged else validation_flags(out)
     checks = ["v1_nonempty", "v2_span_bounds", "v3_span_order",
               "v4_tables_balanced", "v5_id_wellformed"]
     aggs = [F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(f"fail_{c}")

@@ -99,6 +99,51 @@ def test_expression_signature_variants(spark, docs):
 
 
 @pytest.mark.spark
+def test_minhash_signature_variant_parity(spark, docs):
+    """minhash_signatures_expr (the zero-shuffle production path for
+    d01/d06/curate) must be bit-exact with minhash_signatures_agg on every
+    doc — including short and empty texts, where the shingle fallback path
+    (n < k -> single whole-text shingle) is exercised."""
+    from docvision_spark.functions.dedup import (
+        minhash_signatures_agg, minhash_signatures_expr, word_shingle_hashes)
+
+    extra = docs.unionByName(spark.createDataFrame(
+        [(7, "one"), (8, "two words")], "doc_id long, text string"))
+    sh = extra.select(
+        "doc_id", word_shingle_hashes(F.col("text"), 3).alias("sh"))
+    agg = {r["id"]: r["mh"] for r in
+           minhash_signatures_agg(sh, "doc_id", "sh", 16).collect()}
+    expr = {r["id"]: r["mh"] for r in
+            minhash_signatures_expr(sh, "doc_id", "sh", 16).collect()}
+    assert expr == agg
+    assert set(expr) == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+@pytest.mark.spark
+def test_url_dedup_deterministic_survivor(spark):
+    """Re-crawls of the SAME url with different content must keep a DEFINED
+    row (newest warc_ts, then atomic-column order) — not whatever row the
+    partitioning happened to feed dropDuplicates first."""
+    import datetime as dt
+
+    from docvision_spark.functions.urls import url_dedup
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("http://a.com/x", ts, "old body"),
+        ("http://a.com/x", ts + dt.timedelta(days=3), "new body"),
+        ("http://a.com/x", ts + dt.timedelta(days=3), "aaa tie"),  # ts tie
+        ("http://b.com/y", None, "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    for n_parts in (1, 4):
+        got = {r["url"]: r["text"]
+               for r in url_dedup(df.repartition(n_parts)).collect()}
+        assert got["http://a.com/x"] == "aaa tie"  # newest ts, then text asc
+        assert got["http://b.com/y"] == "only"
+
+
+@pytest.mark.spark
 def test_structured_output_typed_columns(spark):
     """T4: a user DDL schema over the first markdown pipe table yields
     typed columns (Invoice/LineItem shape, reference README.md:127-156);

@@ -119,3 +119,29 @@ def test_crashed_staging_invisible(spark, pages_dir, tmp_path):
         os.path.join(stray, "bucket=0"), mode="overwrite")
     table = snapshots.read_table(spark, out_dir)
     assert table.count() == 300  # staging rows invisible
+
+
+def test_torn_history_file_tolerated(tmp_path):
+    """A torn/garbage JSON in snapshots/ (crash debris) must not poison
+    snapshot_log; the published current snapshot still heals back in."""
+    import json
+
+    from docvision_spark.pipeline import snapshots
+
+    out_dir = str(tmp_path / "out_torn")
+    log_dir = os.path.join(out_dir, "snapshots")
+    os.makedirs(log_dir)
+    good = {"snapshot_id": "abc", "parent_id": None, "sequence": 0,
+            "committed_at": 0.0, "row_count_delta": 1, "files": ["f.parquet"]}
+    with open(os.path.join(log_dir, "000000-abc.json"), "w") as f:
+        json.dump(good, f)
+    with open(os.path.join(log_dir, "000001-torn.json"), "w") as f:
+        f.write('{"snapshot_id": "torn", "seq')  # mid-write crash
+    cur = dict(good, snapshot_id="def", parent_id="abc", sequence=1)
+    with open(os.path.join(out_dir, snapshots.MANIFEST), "w") as f:
+        json.dump(cur, f)
+    log = snapshots.snapshot_log(out_dir)
+    assert [s["snapshot_id"] for s in log] == ["abc", "def"]
+    # and the healed write replaced the torn file atomically
+    assert json.load(open(os.path.join(log_dir, "000001-def.json")))[
+        "snapshot_id"] == "def"
