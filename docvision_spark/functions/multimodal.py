@@ -2,7 +2,8 @@
 metadata, processed in Arrow-batched mapInPandas stages.
 
 IMAGE decode is REAL: a from-scratch numpy+zlib codec
-(kernel/image_codec.py) decodes PNG/BMP/PNM, computes luma statistics and
+(kernel/image_codec.py + kernel/jpeg_codec.py) decodes
+PNG/BMP/PNM/GIF/JPEG (baseline sequential), computes luma statistics and
 perceptual hashes (aHash/dHash), and re-encodes resized thumbnails — the
 pure-Python analogue of the reference's cv2.imread + adaptive-resize path
 (reference: src/docvision/core/parser.py:554-563, processing/image.py:351-366).
@@ -41,7 +42,7 @@ MEDIA_SCHEMA = StructType([
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
-    StructField("format", StringType()),    # png|bmp|pnm|gif|wav|y4m|dvsm-fake
+    StructField("format", StringType()),    # png|bmp|pnm|gif|jpeg|wav|y4m|dvsm-fake
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("n_frames", IntegerType()),
@@ -97,6 +98,13 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
     if fmt == "gif":
         from docvision_spark.kernel.image_codec import encode_gif
         return encode_gif(img, interlace=bool(seed % 2))
+    if fmt == "jpeg":
+        from docvision_spark.kernel.jpeg_codec import encode_jpeg
+        # vary the coding features by seed so the corpus exercises 4:4:4,
+        # 4:2:0, and restart intervals
+        return encode_jpeg(img, quality=85 + (seed % 3) * 5,
+                           subsample="420" if seed % 2 else "444",
+                           restart_interval=2 if seed % 5 == 0 else 0)
     raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
 
 
@@ -341,7 +349,8 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     w = 32 + (seed % 4) * 16
                     h = 24 + (seed % 3) * 8
                     fmt = ("pnm" if mid % 11 == 0
-                           else "gif" if mid % 13 == 3 else "png")
+                           else "gif" if mid % 13 == 3
+                           else "jpeg" if mid % 7 in (2, 4) else "png")
                     payload = make_synthetic_image(seed, w, h, noise=noise, fmt=fmt)
                 out.append({"media_id": mid, "kind": kind, "payload": payload})
             yield pd.DataFrame(out, columns=["media_id", "kind", "payload"])

@@ -15,6 +15,8 @@ specified by public specs and decodable without native libs:
   PNM  — P5 (gray) / P6 (RGB) binary, maxval <= 255.
   GIF  — 87a/89a first frame, full LZW (code-size growth + table reset),
          global/local palettes, interlaced or sequential.
+  JPEG — baseline sequential DCT via kernel/jpeg_codec.py (gray + YCbCr,
+         4:4:4/4:2:2/4:2:0, restart intervals); see that module.
 
 Everything returns / accepts uint8 arrays: (H, W, 3) for color,
 (H, W) for grayscale. All math is integer or float64-rounded so results
@@ -294,6 +296,9 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
         return decode_pnm(data), "pnm"
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data), "gif"
+    if data[:2] == b"\xFF\xD8":
+        from docvision_spark.kernel.jpeg_codec import decode_jpeg
+        return decode_jpeg(data), "jpeg"
     raise ImageDecodeError("unknown image format")
 
 
