@@ -69,7 +69,13 @@ def _extract_html(payload: bytes) -> ExtractResult:
 
 
 def _extract_pdf(payload: bytes) -> ExtractResult:
-    pages, page_count = pdf_text.parse_pdf(payload)
+    try:
+        pages, page_count = pdf_text.parse_pdf(payload)
+    except pdf_text.PdfUnsupportedFontError:
+        # CID/Type0 text is undecodable without CMap support — a typed,
+        # taxonomy-stable error row (not the generic exception fallback)
+        return ExtractResult(id=sha3_id(""), processing_mode="pdf",
+                             charset="binary", error="pdf_unsupported_font")
     if page_count == 0 or all(not blocks for blocks in pages):
         # %PDF magic but nothing parseable: surface it for lineage instead
         # of silently emitting an empty document

@@ -8,6 +8,14 @@ reading-order blocks -> heading detection by font-size rank.
 
 Supported subset (the corpus synthesizer emits only this): uncompressed or
 FlateDecode content streams, literal/hex strings, the text operators above.
+PDF 1.5 container features are handled: object streams (/Type /ObjStm,
+Flate) are expanded into the object table, and cross-reference-stream files
+parse fine because object discovery is a full-file scan (the xref is only a
+byte-offset index — a scanner never needs it). CID/Type0 fonts carry
+multi-byte code-to-glyph mappings this parser cannot decode; documents
+declaring one raise PdfUnsupportedFontError, which the extraction kernel
+converts to a per-doc `pdf_unsupported_font` error row (graceful at-scale
+behavior, reference capability via fitz: processing/image.py:62-108).
 y-cluster tolerance is integer-quantized so line grouping never depends on
 float rounding.
 """
@@ -103,13 +111,73 @@ class PdfBlock:
     rows: list | None = None   # table cell grid (kind == 'table')
 
 
+class PdfUnsupportedFontError(ValueError):
+    """Document declares a CID/Type0 font (multi-byte encoded text this
+    parser cannot decode) — callers map it to a per-doc error row."""
+
+
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+
+
+def _expand_objstm(body: bytes) -> dict[int, bytes]:
+    """Parse one /Type /ObjStm body into {obj_id: obj_body} (PDF 1.5 §7.5.7):
+    the decompressed stream holds N (id, offset) integer pairs, then the
+    object bodies back to back starting at /First."""
+    nm = _OBJSTM_N_RE.search(body)
+    fm = _OBJSTM_FIRST_RE.search(body)
+    sm = _STREAM_RE.search(body)
+    if not (nm and fm and sm):
+        return {}
+    data = sm.group(1)
+    filt = _NAME_VAL_RE[b"Filter"].search(body)
+    if filt and filt.group(1) == b"FlateDecode":
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return {}
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        return {}
+    try:
+        pairs = [(int(header[2 * i]), int(header[2 * i + 1])) for i in range(n)]
+    except ValueError:
+        return {}
+    out: dict[int, bytes] = {}
+    for i, (oid, off) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+        out[oid] = data[first + off:first + end]
+    return out
+
+
 def _parse_objects(payload: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(payload)}
+    """Full-file object scan + ObjStm expansion. A scanner needs no xref
+    (classic table or 1.5 xref stream — both are just byte-offset indexes),
+    so both file layouts parse identically; compressed objects are recovered
+    by expanding every object stream. Top-level objects win id collisions
+    (incremental-update precedence heuristic: later regex match overwrites)."""
+    objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(payload)}
+    expanded: dict[int, bytes] = {}
+    for body in objs.values():
+        t = _NAME_VAL_RE[b"Type"].search(body)
+        if t and t.group(1) == b"ObjStm":
+            expanded.update(_expand_objstm(body))
+    for oid, body in expanded.items():
+        objs.setdefault(oid, body)
+    return objs
+
+
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b|/Encoding\s*/Identity-[HV]\b")
 
 
 def _page_content_streams(payload: bytes) -> list[bytes]:
     """Return one decoded content-stream per page, in page-tree order."""
     objs = _parse_objects(payload)
+    for body in objs.values():
+        t = _NAME_VAL_RE[b"Type"].search(body)
+        if t and t.group(1) == b"Font" and _TYPE0_RE.search(body):
+            raise PdfUnsupportedFontError("CID/Type0 font")
     pages_obj = None
     for body in objs.values():
         t = _NAME_VAL_RE[b"Type"].search(body)

@@ -183,6 +183,59 @@ def test_pdf_string_escapes():
     assert _decode_pdf_string(rb"x\ny") == "x\ny"
 
 
+def test_pdf15_layout_parity():
+    """The same page content in the classic-xref 1.4 layout and the 1.5
+    ObjStm + xref-stream layout must extract byte-identically (layout is a
+    container concern, never a content concern)."""
+    import random
+
+    from docvision_spark.corpus import make_pdf
+
+    for seed in (3, 11, 29):
+        p14 = make_pdf("u", random.Random(seed), "en", force_layout15=False,
+                       force_type0=False)
+        p15 = make_pdf("u", random.Random(seed), "en", force_layout15=True,
+                       force_type0=False)
+        assert p14.startswith(b"%PDF-1.4") and p15.startswith(b"%PDF-1.5")
+        assert p14 != p15
+        r14, r15 = extract("u", p14), extract("u", p15)
+        assert r14.error is None and r15.error is None
+        assert r14.text == r15.text and r14.markdown == r15.markdown
+        assert r14.pages == r15.pages and r14.id == r15.id
+
+
+def test_pdf_objstm_expansion():
+    """Objects hidden in a /Type /ObjStm are recovered by the scanner."""
+    import random
+
+    from docvision_spark.corpus import make_pdf
+    from docvision_spark.kernel.pdf_text import _parse_objects
+
+    p15 = make_pdf("u", random.Random(5), "en", force_layout15=True,
+                   force_type0=False)
+    objs = _parse_objects(p15)
+    # catalog, pages node and font live only inside the ObjStm
+    assert 1 in objs and b"/Catalog" in objs[1]
+    assert 2 in objs and b"/Pages" in objs[2]
+    assert 3 in objs and b"/Font" in objs[3]
+
+
+def test_pdf_type0_font_error_row():
+    """A CID/Type0 font document yields the typed pdf_unsupported_font
+    error row in BOTH container layouts — never a raise, never silent
+    garbage text."""
+    import random
+
+    from docvision_spark.corpus import make_pdf
+
+    for layout15 in (False, True):
+        p = make_pdf("u", random.Random(13), "en", force_layout15=layout15,
+                     force_type0=True)
+        r = extract("u", p)
+        assert r.error == "pdf_unsupported_font"
+        assert r.processing_mode == "pdf" and r.text == ""
+
+
 # -------------------------------------------------------------- extract ---
 def test_extract_dispatch_and_id():
     r = extract("u", b"<main><p>Hello world, a content paragraph of sufficient length.</p></main>")
