@@ -38,12 +38,83 @@ ENTITIES: dict[str, str] = {
     "yacute": "ý", "yuml": "ÿ", "szlig": "ß",
     "Agrave": "À", "Aacute": "Á", "Auml": "Ä",
     "Eacute": "É", "Ouml": "Ö", "Uuml": "Ü",
-    "alpha": "α", "beta": "β", "gamma": "γ",
-    "delta": "δ", "pi": "π", "sigma": "σ",
+    # Greek (full alphabet, both cases, + final sigma / theta symbol)
+    "Alpha": "Α", "Beta": "Β", "Gamma": "Γ", "Delta": "Δ",
+    "Epsilon": "Ε", "Zeta": "Ζ", "Eta": "Η", "Theta": "Θ",
+    "Iota": "Ι", "Kappa": "Κ", "Lambda": "Λ", "Mu": "Μ",
+    "Nu": "Ν", "Xi": "Ξ", "Omicron": "Ο", "Pi": "Π",
+    "Rho": "Ρ", "Sigma": "Σ", "Tau": "Τ", "Upsilon": "Υ",
+    "Phi": "Φ", "Chi": "Χ", "Psi": "Ψ", "Omega": "Ω",
+    "alpha": "α", "beta": "β", "gamma": "γ", "delta": "δ",
+    "epsilon": "ε", "zeta": "ζ", "eta": "η", "theta": "θ",
+    "iota": "ι", "kappa": "κ", "lambda": "λ", "mu": "μ",
+    "nu": "ν", "xi": "ξ", "omicron": "ο", "pi": "π",
+    "rho": "ρ", "sigmaf": "ς", "sigma": "σ", "tau": "τ",
+    "upsilon": "υ", "phi": "φ", "chi": "χ", "psi": "ψ",
+    "omega": "ω", "thetasym": "ϑ", "upsih": "ϒ", "piv": "ϖ",
+    # arrows
     "larr": "←", "uarr": "↑", "rarr": "→", "darr": "↓",
+    "harr": "↔", "crarr": "↵",
+    "lArr": "⇐", "uArr": "⇑", "rArr": "⇒", "dArr": "⇓", "hArr": "⇔",
+    # math
+    "forall": "∀", "part": "∂", "exist": "∃", "empty": "∅",
+    "nabla": "∇", "isin": "∈", "notin": "∉", "ni": "∋",
+    "prod": "∏", "sum": "∑", "lowast": "∗", "radic": "√",
+    "prop": "∝", "infin": "∞", "ang": "∠",
+    "and": "∧", "or": "∨", "cap": "∩", "cup": "∪", "int": "∫",
+    "there4": "∴", "sim": "∼", "cong": "≅", "asymp": "≈",
+    "ne": "≠", "equiv": "≡", "le": "≤", "ge": "≥",
+    "sub": "⊂", "sup": "⊃", "nsub": "⊄", "sube": "⊆", "supe": "⊇",
+    "oplus": "⊕", "otimes": "⊗", "perp": "⊥", "sdot": "⋅",
+    "lceil": "⌈", "rceil": "⌉", "lfloor": "⌊", "rfloor": "⌋",
+    "lang": "〈", "rang": "〉",
+    # remaining Latin-1 letters (both cases) + signs
+    "Acirc": "Â", "Atilde": "Ã", "Aring": "Å", "AElig": "Æ",
+    "Ccedil": "Ç", "Egrave": "È", "Ecirc": "Ê", "Euml": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icirc": "Î", "Iuml": "Ï",
+    "ETH": "Ð", "eth": "ð", "Ntilde": "Ñ",
+    "Ograve": "Ò", "Oacute": "Ó", "Ocirc": "Ô", "Otilde": "Õ",
+    "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú", "Ucirc": "Û",
+    "Yacute": "Ý", "THORN": "Þ", "thorn": "þ",
+    "iexcl": "¡", "iquest": "¿", "curren": "¤", "brvbar": "¦",
+    "uml": "¨", "ordf": "ª", "not": "¬", "macr": "¯",
+    "acute": "´", "cedil": "¸", "ordm": "º",
+    # letterlike / ligature / punctuation extras
+    "OElig": "Œ", "oelig": "œ", "Scaron": "Š", "scaron": "š",
+    "Yuml": "Ÿ", "fnof": "ƒ", "circ": "ˆ", "tilde": "˜",
+    "ensp": " ", "emsp": " ", "thinsp": " ",
+    "zwnj": "‌", "zwj": "‍", "lrm": "‎", "rlm": "‏",
+    "sbquo": "‚", "bdquo": "„", "permil": "‰",
+    "lsaquo": "‹", "rsaquo": "›", "Dagger": "‡", "oline": "‾",
+    "frasl": "⁄", "weierp": "℘", "image": "ℑ", "real": "ℜ",
+    "alefsym": "ℵ", "loz": "◊",
+    "spades": "♠", "clubs": "♣", "hearts": "♥", "diams": "♦",
 }
 
 _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);?")
+
+# Names browsers accept WITHOUT a trailing semicolon (the WHATWG legacy
+# set: the HTML 2-4 / Latin-1 era names). Everything newer — Greek, math,
+# arrows — requires the ';', so '&integer' must NOT decode via the 'int'
+# prefix. Frozen like ENTITIES.
+_LEGACY = frozenset((
+    "amp", "lt", "gt", "quot", "nbsp", "shy", "copy", "reg",
+    "deg", "plusmn", "micro", "middot", "para", "sect",
+    "laquo", "raquo", "times", "divide",
+    "frac12", "frac14", "frac34", "sup1", "sup2", "sup3",
+    "iexcl", "iquest", "cent", "pound", "curren", "yen", "brvbar",
+    "uml", "ordf", "not", "macr", "acute", "cedil", "ordm",
+    "agrave", "aacute", "acirc", "atilde", "auml", "aring", "aelig",
+    "ccedil", "egrave", "eacute", "ecirc", "euml",
+    "igrave", "iacute", "icirc", "iuml", "eth", "ntilde",
+    "ograve", "oacute", "ocirc", "otilde", "ouml", "oslash",
+    "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml",
+    "szlig", "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring",
+    "AElig", "Ccedil", "Egrave", "Eacute", "Ecirc", "Euml",
+    "Igrave", "Iacute", "Icirc", "Iuml", "ETH", "Ntilde",
+    "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml", "Oslash",
+    "Ugrave", "Uacute", "Ucirc", "Uuml", "Yacute", "THORN",
+))
 
 # Windows-1252 remapping for C1-range numeric references (&#147; etc.),
 # per the HTML5 spec's fixed table.
@@ -70,15 +141,17 @@ def _sub_entity(m: re.Match) -> str:
         if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
             return chr(cp)
         return "�"
-    rep = ENTITIES.get(body)
-    if rep is not None:
-        return rep
-    # missing-semicolon legacy handling: match longest known prefix
-    if not m.group(0).endswith(";"):
-        for n in range(len(body), 1, -1):
-            rep = ENTITIES.get(body[:n])
-            if rep is not None:
-                return rep + body[n:]
+    if m.group(0).endswith(";"):
+        rep = ENTITIES.get(body)
+        if rep is not None:
+            return rep
+        return m.group(0)
+    # no semicolon: only the LEGACY names decode (longest prefix), matching
+    # browser text-content behavior — '&integer' stays literal, '&notify'
+    # becomes '¬ify' exactly as HTML5 specifies
+    for n in range(len(body), 1, -1):
+        if body[:n] in _LEGACY:
+            return ENTITIES[body[:n]] + body[n:]
     return m.group(0)
 
 

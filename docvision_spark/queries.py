@@ -992,8 +992,11 @@ def _stoplist_sql(lang: str) -> str:
 
 
 def _tokens_sql(col: str) -> str:
+    # twin of text.tokens(): whitespace split with one token per CJK
+    # ideograph (cjk_spaced) — the two regex chains must stay in lockstep
     return (f"case when length(trim({col})) = 0 then []::varchar[] "
-            f"else regexp_split_to_array(trim({col}), '\\s+') end")
+            f"else regexp_split_to_array("
+            f"trim({text.cjk_spaced_sql(col)}), '\\s+') end")
 
 
 def _hits_sql(col: str, lang: str) -> str:
@@ -1002,7 +1005,9 @@ def _hits_sql(col: str, lang: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    norm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    # twin of text.normalized(): lowercase -> CJK spacing -> collapse -> trim
+    norm = (f"trim(regexp_replace({text.cjk_spaced_sql('lower(text)')}, "
+            f"'\\s+', ' ', 'g'))")
     all_hits = " + ".join(_hits_sql("text", lang) for lang in sorted(text.LANG_STOPWORDS))
     langs = sorted(text.LANG_STOPWORDS)
 
@@ -1271,10 +1276,9 @@ def oracle_sql() -> dict[str, str]:
                        '{text.PII_PATTERNS["ipv4"]}', '<<IPV4>>', 'g')) as n_redacted
             from w
         """,
-        "c02_contamination": r"""
+        "c02_contamination": f"""
             with n as (
-              select doc_id,
-                     regexp_replace(lower(trim(text)), '\s+', ' ', 'g') as norm
+              select doc_id, {norm} as norm
               from documents
             ),
             probes as (
@@ -1361,12 +1365,10 @@ def oracle_sql() -> dict[str, str]:
                    vec_id
             from scored order by score desc, vec_id asc limit 10
         """,
-        "d03_ngram_jaccard_pairs": r"""
+        "d03_ngram_jaccard_pairs": f"""
             with t as (
               select doc_id,
-                     regexp_split_to_array(
-                       trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),
-                       ' ') as toks
+                     regexp_split_to_array({norm}, ' ') as toks
               from documents
             ),
             s as (

@@ -120,6 +120,65 @@ def test_minhash_signature_variant_parity(spark, docs):
 
 
 @pytest.mark.spark
+def test_connected_components_long_chain(spark):
+    """A 10^4-node path graph (worst-case diameter) must converge well
+    inside max_iter via pointer doubling — plain one-hop propagation would
+    need 10^4 rounds and raise (round-2 verdict item 7)."""
+    from docvision_spark.functions.dedup import connected_components
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    out = connected_components(pairs, max_iter=20)
+    assert out.count() == n
+    assert out.select("cluster_id").distinct().collect()[0]["cluster_id"] == 0
+    assert out.filter("cluster_id <> 0").count() == 0
+
+
+ZH = ("机器学习模型需要大规模高质量的训练数据集来提升泛化能力"
+      "数据清洗与去重是语料构建流程中的关键步骤之一")
+
+
+@pytest.mark.spark
+def test_cjk_tokenization(spark):
+    """One CJK ideograph = one token: token counts, quality and chunking
+    stop degenerating on unsegmented zh (round-2 verdict item 6)."""
+    from docvision_spark.functions.text import (
+        explode_chunks, tokens, with_quality, with_token_stats)
+
+    df = spark.createDataFrame([(1, ZH), (2, "plain english words here")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           with_token_stats(df).select("doc_id", "n_tokens").collect()}
+    assert got[1]["n_tokens"] == len(ZH)  # every ideograph its own token
+    assert got[2]["n_tokens"] == 4
+    q = {r["doc_id"]: r["n_tokens"] for r in with_quality(df).collect()}
+    assert q[1] > 10
+    chunks = explode_chunks(df, chunk_size=10).filter("doc_id = 1").count()
+    assert chunks == -(-len(ZH) // 10)
+    # mixed script: latin words stay words, ideographs split
+    mixed = spark.createDataFrame([(3, "spark 处理数据 pipeline")],
+                                  "doc_id long, text string")
+    toks = mixed.select(tokens(F.col("text")).alias("t")).collect()[0]["t"]
+    assert toks == ["spark", "处", "理", "数", "据", "pipeline"]
+
+
+@pytest.mark.spark
+def test_cjk_minhash_near_dup(spark):
+    """Planted zh near-dups are found by the minhash path (char-granular
+    shingles via the CJK-aware normalized form)."""
+    from docvision_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [(1, ZH), (2, ZH[:-2] + "要点"),  # near dup: 2-char tail edit
+            (3, "完全不同的另一段文字内容讨论天气与旅行计划安排事项")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(df, jaccard_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert not any({a, b} & {3} for a, b in pairs)
+
+
+@pytest.mark.spark
 def test_url_dedup_deterministic_survivor(spark):
     """Re-crawls of the SAME url with different content must keep a DEFINED
     row (newest warc_ts, then atomic-column order) — not whatever row the

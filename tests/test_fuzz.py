@@ -20,6 +20,8 @@ html_ish = st.one_of(
             b"</a>", b"<table><tr><td>", b"</td></tr></table>", b"<h2>",
             b"</h2>", b"<script>var x='<p>';</script>", b"<!-- c -->",
             b"text content here ", b"&amp;&bogus;&#65;&#xZZ;", b"<",
+            b"&alpha;&Sigma;&sum;&notin;&rArr;", b"&notify &integer &mdash",
+            b"&lceil;x&rfloor; &permil;&sigmaf;&copyright",
             b">", b"\xff\xfe", b"<li>", b"%PDF-", b"<meta charset='latin-1'>",
             b"<pre>raw\n block</pre>", b"<img alt='fig'>",
         ]), max_size=60),
@@ -100,14 +102,16 @@ def test_decode_image_total_on_garbage(data):
 
     try:
         rgb, fmt = decode_image(data)
-        assert rgb.ndim == 3 and rgb.shape[2] == 3 and fmt in ("png", "bmp", "pnm")
+        assert rgb.ndim == 3 and rgb.shape[2] == 3
+        assert fmt in ("png", "bmp", "pnm", "gif", "jpeg")
     except ImageDecodeError:
         pass
 
 
 @settings(max_examples=100, deadline=None)
 @given(data=st.binary(max_size=512), prefix=st.sampled_from(
-    [b"\x89PNG\r\n\x1a\n", b"BM", b"P6 ", b"P5\n", b"GIF89a", b"GIF87a"]))
+    [b"\x89PNG\r\n\x1a\n", b"BM", b"P6 ", b"P5\n", b"GIF89a", b"GIF87a",
+     b"\xFF\xD8\xFF\xE0", b"\xFF\xD8\xFF\xDB"]))
 def test_decode_image_total_on_magic_prefixed_garbage(data, prefix):
     """Same totality with valid magic bytes followed by garbage — the parser
     paths themselves must fail cleanly, not just the dispatcher."""

@@ -48,6 +48,27 @@ def test_entities():
     assert decode_entities("no amp") == "no amp"
 
 
+def test_entities_widened_table():
+    # Greek / arrows / math decode with the ';' present
+    assert decode_entities("&alpha;&Omega;&sigmaf;") == "αΩς"
+    assert decode_entities("a &rArr; b &harr; c") == "a ⇒ b ↔ c"
+    assert decode_entities("&sum;&isin;&le;&ne;&infin;") == "∑∈≤≠∞"
+    assert decode_entities("&OElig;&oelig;&permil;&loz;") == "Œœ‰◊"
+    assert decode_entities("&lceil;x&rfloor;") == "⌈x⌋"
+
+
+def test_entities_semicolon_rules():
+    # post-legacy names REQUIRE the semicolon (browser parity): '&integer'
+    # must not decode via the 'int' prefix, '&pine' not via 'pi'
+    assert decode_entities("a=1&integer") == "a=1&integer"
+    assert decode_entities("&pine") == "&pine"
+    assert decode_entities("&mdash no semi") == "&mdash no semi"
+    # legacy Latin-1 names still decode without it (longest prefix)
+    assert decode_entities("&notify") == "¬ify"
+    assert decode_entities("&copyright") == "©right"
+    assert decode_entities("&timesup") == "×up"
+
+
 # -------------------------------------------------------------- tokenizer --
 def test_tokenize_basic():
     toks = list(tokenize('<p class="x">Hi <b>there</b></p>'))
