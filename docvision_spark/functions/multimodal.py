@@ -101,10 +101,13 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
     if fmt == "jpeg":
         from docvision_spark.kernel.jpeg_codec import encode_jpeg
         # vary the coding features by seed so the corpus exercises 4:4:4,
-        # 4:2:0, and restart intervals
+        # 4:2:0, restart intervals, and progressive (SOF2) streams
+        prog = seed % 3 == 1
         return encode_jpeg(img, quality=85 + (seed % 3) * 5,
                            subsample="420" if seed % 2 else "444",
-                           restart_interval=2 if seed % 5 == 0 else 0)
+                           restart_interval=(2 if seed % 5 == 0 and not prog
+                                             else 0),
+                           progressive=prog)
     raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
 
 

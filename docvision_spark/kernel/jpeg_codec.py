@@ -223,6 +223,41 @@ def _encode_block(w: _BitWriter, coeffs: np.ndarray, pred: int,
     return dc
 
 
+def _build_fixed_table(lengths: dict[int, int]) -> tuple[list[int], list[int]]:
+    """Canonical (bits, values) from {symbol: code length} — used for the
+    progressive AC table, which needs EOBn/refinement symbols the Annex K
+    tables lack. Kraft inequality asserted (sum 2^-len <= 1)."""
+    assert sum(2.0 ** -ln for ln in lengths.values()) <= 1.0
+    bits = [0] * 16
+    values: list[int] = []
+    for sym, ln in sorted(lengths.items(), key=lambda kv: (kv[1], kv[0])):
+        bits[ln - 1] += 1
+        values.append(sym)
+    return bits, values
+
+
+def _progressive_ac_lengths() -> dict[int, int]:
+    """Fixed-length assignment for every symbol a progressive AC scan can
+    emit: (run<<4|size) size 1..10, EOBn (r<<4, r<15), ZRL. Short codes for
+    the overwhelmingly-common symbols; compression is secondary to having a
+    COMPLETE deterministic table."""
+    lengths: dict[int, int] = {0x00: 3, 0x01: 4, 0x11: 4}
+    for r in range(16):
+        s = (r << 4) | 1
+        if s not in lengths:
+            lengths[s] = 6          # newly-significant (refine) / size-1
+    for r in range(1, 15):
+        lengths[r << 4] = 8         # EOBn
+    lengths[0xF0] = 8               # ZRL
+    for r in range(16):
+        for s in range(2, 11):
+            lengths.setdefault((r << 4) | s, 12)
+    return lengths
+
+
+PROG_AC_TABLE = _build_fixed_table(_progressive_ac_lengths())
+
+
 def _component_blocks(plane: np.ndarray, bw: int, bh: int) -> np.ndarray:
     """Edge-replicate plane to (8*bh, 8*bw) and split into (bh*bw, 8, 8)
     blocks in raster order."""
@@ -260,13 +295,18 @@ def _dht_segment(cls: int, tid: int, bits: list[int], values: list[int]) -> byte
 
 
 def encode_jpeg(arr: np.ndarray, quality: int = 85,
-                subsample: str = "444", restart_interval: int = 0) -> bytes:
-    """Encode (H, W) gray or (H, W, 3) uint8 RGB as baseline JFIF JPEG.
+                subsample: str = "444", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode (H, W) gray or (H, W, 3) uint8 RGB as JFIF JPEG — baseline
+    sequential (SOF0) or, with progressive=True, progressive (SOF2) with a
+    4-phase scan script exercising BOTH progressive mechanisms: DC first at
+    Al=1 + DC refinement, then per-component AC spectral-selection first
+    scans at Al=1 (EOB-run coded) + AC successive-approximation refinement.
 
     subsample: '444' (no chroma subsampling) or '420' (2x2 on Y). Gray
     input always encodes single-component. restart_interval > 0 emits a DRI
-    segment and RSTn markers every N MCUs (exercises the decoder's restart
-    path). Deterministic for fixed input."""
+    segment and RSTn markers every N MCUs (baseline only — ignored for
+    progressive). Deterministic for fixed input."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     if not gray and (arr.ndim != 3 or arr.shape[2] != 3):
@@ -320,31 +360,6 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
         comp_blocks.append(quant.reshape(bh, bw, 64))
         comp_bw.append(bw)
 
-    scan = bytearray()
-    wtr = _BitWriter()
-    preds = [0] * len(planes)
-    mcu_count = 0
-    rst = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                scan += wtr.flush()
-                scan += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                wtr = _BitWriter()
-                preds = [0] * len(planes)
-            for ci, (sh, sv) in enumerate(samp):
-                dct_t = dc_l if ci == 0 else dc_c
-                ac_t = ac_l if ci == 0 else ac_c
-                for by in range(sv):
-                    for bx in range(sh):
-                        blk = comp_blocks[ci][my * sv + by, mx * sh + bx]
-                        preds[ci] = _encode_block(wtr, blk, preds[ci],
-                                                  dct_t, ac_t)
-            mcu_count += 1
-    scan += wtr.flush()
-    scan = bytes(scan)
-
     out = bytearray(b"\xFF\xD8")                       # SOI
     out += _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _dqt_segment(0, ql)
@@ -353,21 +368,242 @@ def encode_jpeg(arr: np.ndarray, quality: int = 85,
     sof = bytearray(struct.pack(">BHHB", 8, h, w, len(planes)))
     for ci, (sh, sv) in enumerate(samp):
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += _marker(0xC0, bytes(sof))                   # SOF0 baseline
+    out += _marker(0xC2 if progressive else 0xC0, bytes(sof))
     out += _dht_segment(0, 0, *HUFF_DC_LUMA)
-    out += _dht_segment(1, 0, *HUFF_AC_LUMA)
     if not gray:
         out += _dht_segment(0, 1, *HUFF_DC_CHROMA)
-        out += _dht_segment(1, 1, *HUFF_AC_CHROMA)
-    if restart_interval:
-        out += _marker(0xDD, struct.pack(">H", restart_interval))
-    sos = bytearray([len(planes)])
-    for ci in range(len(planes)):
-        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
-    sos += b"\x00\x3F\x00"
-    out += _marker(0xDA, bytes(sos))                   # SOS
-    out += scan
+    if progressive:
+        out += _dht_segment(1, 0, *PROG_AC_TABLE)
+    else:
+        out += _dht_segment(1, 0, *HUFF_AC_LUMA)
+        if not gray:
+            out += _dht_segment(1, 1, *HUFF_AC_CHROMA)
+
+    if progressive:
+        out += _encode_progressive_scans(comp_blocks, samp, mcus_x, mcus_y,
+                                         dc_l, dc_c, w, h)
+    else:
+        if restart_interval:
+            out += _marker(0xDD, struct.pack(">H", restart_interval))
+        scan = bytearray()
+        wtr = _BitWriter()
+        preds = [0] * len(planes)
+        mcu_count = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    scan += wtr.flush()
+                    scan += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    wtr = _BitWriter()
+                    preds = [0] * len(planes)
+                for ci, (sh, sv) in enumerate(samp):
+                    dct_t = dc_l if ci == 0 else dc_c
+                    ac_t = ac_l if ci == 0 else ac_c
+                    for by in range(sv):
+                        for bx in range(sh):
+                            blk = comp_blocks[ci][my * sv + by, mx * sh + bx]
+                            preds[ci] = _encode_block(wtr, blk, preds[ci],
+                                                      dct_t, ac_t)
+                mcu_count += 1
+        scan += wtr.flush()
+        sos = bytearray([len(planes)])
+        for ci in range(len(planes)):
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += b"\x00\x3F\x00"
+        out += _marker(0xDA, bytes(sos))               # SOS
+        out += bytes(scan)
     out += b"\xFF\xD9"                                 # EOI
+    return bytes(out)
+
+
+def _sos_header(comp_ids: list[int], td_ta: list[tuple[int, int]],
+                ss: int, se: int, ah: int, al: int) -> bytes:
+    sos = bytearray([len(comp_ids)])
+    for cid, (td, ta) in zip(comp_ids, td_ta):
+        sos += bytes([cid, (td << 4) | ta])
+    sos += bytes([ss, se, (ah << 4) | al])
+    return _marker(0xDA, bytes(sos))
+
+
+def _trunc_shift(v: int, al: int) -> int:
+    """T.81 point transform for AC: |v| >> Al with sign restored
+    (truncation toward zero, NOT arithmetic shift)."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _encode_progressive_scans(comp_blocks: list[np.ndarray], samp: list,
+                              mcus_x: int, mcus_y: int,
+                              dc_l: dict, dc_c: dict,
+                              w: int, h: int) -> bytes:
+    """4-phase progressive scan script (see encode_jpeg docstring). DC uses
+    arithmetic shift (T.81 G.1.2.1); AC uses toward-zero truncation."""
+    nc = len(comp_blocks)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    ac_tab = _build_encode_table(*PROG_AC_TABLE)
+    out = bytearray()
+
+    def mcu_blocks(ci: int):
+        """Non-interleaved scan order: the component's TRUE block grid in
+        RASTER order (T.81 A.2.2) — NOT MCU order, which differs whenever
+        the component is super-sampled (Y in 4:2:0)."""
+        sh, sv = samp[ci]
+        cw = -(-(w * sh) // hmax)
+        ch = -(-(h * sv) // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield comp_blocks[ci][by, bx]
+
+    # --- scan 1: DC first, interleaved, Ah=0 Al=1 (arithmetic shift)
+    out += _sos_header(list(range(1, nc + 1)),
+                       [(0 if i == 0 else 1, 0) for i in range(nc)],
+                       0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * nc
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                tab = dc_l if ci == 0 else dc_c
+                for by in range(sv):
+                    for bx in range(sh):
+                        dc = int(comp_blocks[ci][my * sv + by, mx * sh + bx][0]) >> 1
+                        size, bits = _category(dc - preds[ci])
+                        code, ln = tab[size]
+                        wtr.write(code, ln)
+                        if size:
+                            wtr.write(bits, size)
+                        preds[ci] = dc
+    out += wtr.flush()
+
+    # --- scan 2: DC refinement, interleaved, Ah=1 Al=0 (raw LSB per block)
+    out += _sos_header(list(range(1, nc + 1)), [(0, 0)] * nc, 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(nc):
+                sh, sv = samp[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        wtr.write(int(comp_blocks[ci][my * sv + by,
+                                                      mx * sh + bx][0]) & 1, 1)
+    out += wtr.flush()
+
+    # --- per component: AC first scan, Ss=1 Se=63, Ah=0 Al=1
+    for ci in range(nc):
+        out += _sos_header([ci + 1], [(0, 0)], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_tab[r << 4]
+                wtr.write(code, ln)
+                if r:
+                    wtr.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for blk in mcu_blocks(ci):
+            zz = blk[ZIGZAG]
+            vals = [_trunc_shift(int(zz[k]), 1) for k in range(1, 64)]
+            last = max((i for i, v in enumerate(vals) if v), default=-1)
+            if last < 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            for v in vals[:last + 1]:
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                size, bits = _category(v)
+                code, ln = ac_tab[(run << 4) | size]
+                wtr.write(code, ln)
+                wtr.write(bits, size)
+                run = 0
+            if last < 62:
+                eobrun += 1
+        flush_eob()
+        out += wtr.flush()
+
+    # --- per component: AC refinement, Ss=1 Se=63, Ah=1 Al=0
+    for ci in range(nc):
+        out += _sos_header([ci + 1], [(0, 0)], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        eobrun = 0
+        pending: list[int] = []   # correction bits riding the next EOBn
+
+        def flush_eob_refine():
+            nonlocal eobrun, pending
+            if eobrun > 0:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_tab[r << 4]
+                wtr.write(code, ln)
+                if r:
+                    wtr.write(eobrun - (1 << r), r)
+                for b in pending:
+                    wtr.write(b, 1)
+                eobrun = 0
+                pending = []
+
+        for blk in mcu_blocks(ci):
+            zz = [int(v) for v in blk[ZIGZAG]]
+            # t = |v| at Al=0; t==1 -> newly significant, t>1 -> correction
+            ts = [abs(zz[k]) for k in range(1, 64)]
+            last_new = max((i for i, t in enumerate(ts) if t == 1), default=-1)
+            if last_new < 0:
+                # EOB block: whole-band correction bits ride the run
+                eobrun += 1
+                pending.extend(t & 1 for t in ts if t > 1)
+                if eobrun == 0x7FFF:
+                    flush_eob_refine()
+                continue
+            flush_eob_refine()
+            run = 0
+            br: list[int] = []
+            for i in range(last_new + 1):
+                t = ts[i]
+                if t == 0:
+                    run += 1
+                    continue
+                # ZRL check BEFORE the correction-bit branch (libjpeg
+                # ordering): the decoder's post-ZRL walk consumes
+                # correction bits only up to the 16th zero, so a pending
+                # long run must be split before buffering further bits
+                while run > 15:
+                    code, ln = ac_tab[0xF0]
+                    wtr.write(code, ln)
+                    for b in br:
+                        wtr.write(b, 1)
+                    br = []
+                    run -= 16
+                if t > 1:
+                    br.append(t & 1)
+                    continue
+                code, ln = ac_tab[(run << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(1 if zz[1 + i] > 0 else 0, 1)
+                for b in br:
+                    wtr.write(b, 1)
+                br = []
+                run = 0
+            if last_new < 62:
+                # trailing EOB joins the run; tail correction bits buffered
+                eobrun += 1
+                pending.extend(t & 1 for t in ts[last_new + 1:] if t > 1)
+        flush_eob_refine()
+        out += wtr.flush()
+
     return bytes(out)
 
 
@@ -476,21 +712,232 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+class _Component:
+    """Per-component decode state: geometry + the coefficient store that
+    progressive scans accumulate into."""
+
+    __slots__ = ("cid", "sh", "sv", "qid", "store", "bw_true", "bh_true",
+                 "pred")
+
+    def __init__(self, cid: int, sh: int, sv: int, qid: int,
+                 mcus_x: int, mcus_y: int, w: int, h: int,
+                 hmax: int, vmax: int) -> None:
+        self.cid, self.sh, self.sv, self.qid = cid, sh, sv, qid
+        self.store = np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int64)
+        # true (non-MCU-padded) block grid — non-interleaved scans cover
+        # exactly this many blocks (T.81 A.2.2)
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        self.bw_true = -(-cw // 8)
+        self.bh_true = -(-ch // 8)
+        self.pred = 0
+
+
+def _decode_block_full(rdr: _BitReader, blk: np.ndarray, comp: _Component,
+                       dct: _HuffTable, act: _HuffTable) -> None:
+    """Baseline: DC diff + all 63 AC of one block in one pass."""
+    s = rdr.read_symbol(dct)
+    if s > 11:
+        raise ImageDecodeError("jpeg: bad DC size")
+    comp.pred += _extend(rdr.read_bits(s), s)
+    blk[0] = comp.pred
+    k = 1
+    while k < 64:
+        rs = rdr.read_symbol(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:
+                k += 16          # ZRL
+                continue
+            break                # EOB
+        k += r
+        if k > 63:
+            raise ImageDecodeError("jpeg: AC run past block")
+        blk[ZIGZAG[k]] = _extend(rdr.read_bits(s), s)
+        k += 1
+
+
+def _decode_scan(data: bytes, pos: int, comps_in_scan: list,
+                 htsel: list, htables: dict, restart_interval: int,
+                 progressive: bool, mcus_x: int, mcus_y: int,
+                 ss: int, se: int, ah: int, al: int) -> int:
+    """Decode one entropy-coded scan into the components' stores; returns
+    the byte offset just past the scan's data. Implements T.81 F.2 (baseline)
+    and G.2 (progressive spectral selection + successive approximation)."""
+    rdr = _BitReader(data, pos)
+    eobrun = 0
+    for c in comps_in_scan:
+        c.pred = 0
+
+    def tables(i: int) -> tuple[_HuffTable | None, _HuffTable | None]:
+        dc_id, ac_id = htsel[i]
+        dct = htables.get((0, dc_id))
+        act = htables.get((1, ac_id))
+        return dct, act
+
+    # per-unit decode dispatch
+    def dc_first(blk: np.ndarray, comp: _Component, dct: _HuffTable) -> None:
+        s = rdr.read_symbol(dct)
+        if s > 11:
+            raise ImageDecodeError("jpeg: bad DC size")
+        comp.pred += _extend(rdr.read_bits(s), s)
+        blk[0] = comp.pred << al
+
+    def dc_refine(blk: np.ndarray) -> None:
+        if rdr.read_bits(1):
+            blk[0] |= 1 << al
+
+    def ac_first(blk: np.ndarray, act: _HuffTable) -> None:
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rdr.read_symbol(act)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16          # ZRL
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += rdr.read_bits(r)
+                break                # EOBn: this block done
+            k += r
+            if k > se:
+                raise ImageDecodeError("jpeg: AC run past band")
+            blk[ZIGZAG[k]] = _extend(rdr.read_bits(s), s) << al
+            k += 1
+
+    p1, m1 = 1 << al, -(1 << al)
+
+    def _refine_nonzero(blk: np.ndarray, k: int) -> None:
+        zk = ZIGZAG[k]
+        if rdr.read_bits(1) and (blk[zk] & p1) == 0:
+            blk[zk] += p1 if blk[zk] >= 0 else m1
+
+    def ac_refine(blk: np.ndarray, act: _HuffTable) -> None:
+        # G.1.2.3 correction-bit refinement (libjpeg decode_mcu_AC_refine
+        # control flow: EOBRUN includes the current block's tail)
+        nonlocal eobrun
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = rdr.read_symbol(act)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rdr.read_bits(r)
+                        break        # tail handled by the eobrun block below
+                    # ZRL: advance over 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ImageDecodeError("jpeg: bad refine size")
+                    newval = p1 if rdr.read_bits(1) else m1
+                while k <= se:
+                    zk = ZIGZAG[k]
+                    if blk[zk] != 0:
+                        _refine_nonzero(blk, k)
+                    else:
+                        r -= 1
+                        if r < 0:
+                            break
+                    k += 1
+                if newval and k <= se:
+                    blk[ZIGZAG[k]] = newval
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if blk[ZIGZAG[k]] != 0:
+                    _refine_nonzero(blk, k)
+                k += 1
+            eobrun -= 1
+
+    def decode_unit(unit_blocks: list) -> None:
+        # unit_blocks: (blk, comp, scan_idx) triples for one MCU / block
+        for blk, comp, i in unit_blocks:
+            dct, act = tables(i)
+            if not progressive:
+                if dct is None or act is None:
+                    raise ImageDecodeError("jpeg: missing huffman table")
+                _decode_block_full(rdr, blk, comp, dct, act)
+            elif ss == 0 and ah == 0:
+                if dct is None:
+                    raise ImageDecodeError("jpeg: missing huffman table")
+                dc_first(blk, comp, dct)
+            elif ss == 0:
+                dc_refine(blk)
+            elif ah == 0:
+                if act is None:
+                    raise ImageDecodeError("jpeg: missing huffman table")
+                ac_first(blk, act)
+            else:
+                if act is None:
+                    raise ImageDecodeError("jpeg: missing huffman table")
+                ac_refine(blk, act)
+
+    def restart(unit_no: int) -> None:
+        nonlocal eobrun
+        if restart_interval and unit_no and unit_no % restart_interval == 0:
+            rdr.align_to_marker()
+            if (rdr.pos + 1 < len(rdr.data) and rdr.data[rdr.pos] == 0xFF
+                    and 0xD0 <= rdr.data[rdr.pos + 1] <= 0xD7):
+                rdr.pos += 2
+            for c in comps_in_scan:
+                c.pred = 0
+            eobrun = 0
+
+    if len(comps_in_scan) == 1:
+        # non-interleaved: the component's TRUE block grid, raster order
+        comp = comps_in_scan[0]
+        unit = 0
+        for by in range(comp.bh_true):
+            for bx in range(comp.bw_true):
+                restart(unit)
+                decode_unit([(comp.store[by, bx], comp, 0)])
+                unit += 1
+    else:
+        if progressive and ss != 0:
+            raise ImageDecodeError("jpeg: interleaved progressive AC scan")
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                restart(unit)
+                blocks = []
+                for i, comp in enumerate(comps_in_scan):
+                    for by in range(comp.sv):
+                        for bx in range(comp.sh):
+                            blocks.append((
+                                comp.store[my * comp.sv + by,
+                                           mx * comp.sh + bx], comp, i))
+                decode_unit(blocks)
+                unit += 1
+
+    rdr.align_to_marker()
+    return min(rdr.pos, len(data))
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to (H, W, 3) uint8 RGB (grayscale
-    replicated). Raises ImageDecodeError for progressive/arithmetic/12-bit
-    streams and malformed data."""
+    """Decode a baseline-sequential OR progressive (SOF2: spectral selection
+    + successive approximation) JPEG to (H, W, 3) uint8 RGB (grayscale
+    replicated). Raises ImageDecodeError for arithmetic-coded, 12-bit,
+    lossless and hierarchical streams and malformed data."""
     if data[:2] != b"\xFF\xD8":
         raise ImageDecodeError("jpeg: bad SOI")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}
-    frame = None          # (h, w, comps) comps: list of (cid, sh, sv, qid)
+    frame = None          # (h, w, [Component])
+    progressive = False
     restart_interval = 0
-    scan_start = None
-    scan_comps = None
+    mcus_x = mcus_y = 0
+    scans_decoded = 0
 
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ImageDecodeError("jpeg: marker expected")
         tag = data[pos + 1]
@@ -498,6 +945,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pos += 2
             continue
         if tag == 0xD9:                              # EOI
+            break
+        if pos + 4 > len(data):
             break
         seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         body = data[pos + 4:pos + 2 + seglen]
@@ -527,112 +976,84 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     raise ImageDecodeError("jpeg: short huffman table")
                 htables[(cls, tid)] = _HuffTable(bits, vals)
                 p += 17 + n
-        elif tag == 0xC0 or tag == 0xC1:             # SOF0/1 baseline
+        elif tag in (0xC0, 0xC1, 0xC2):              # SOF0/1 baseline, SOF2
+            progressive = tag == 0xC2
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ImageDecodeError(f"jpeg: {prec}-bit not supported")
             if nc not in (1, 3):
                 raise ImageDecodeError(f"jpeg: {nc}-component not supported")
-            comps = []
+            raw = []
             for i in range(nc):
                 cid, hv, qid = body[6 + 3 * i:9 + 3 * i]
                 sh, sv = hv >> 4, hv & 0x0F
                 if not (1 <= sh <= 2 and 1 <= sv <= 2):
                     raise ImageDecodeError(f"jpeg: sampling {sh}x{sv} not supported")
-                comps.append((cid, sh, sv, qid))
-            frame = (h, w, comps)
-        elif tag in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                raw.append((cid, sh, sv, qid))
+            if h == 0 or w == 0:
+                raise ImageDecodeError("jpeg: zero dimension")
+            hmax = max(r[1] for r in raw)
+            vmax = max(r[2] for r in raw)
+            mcus_x = -(-w // (8 * hmax))
+            mcus_y = -(-h // (8 * vmax))
+            comps = [_Component(cid, sh, sv, qid, mcus_x, mcus_y,
+                                w, h, hmax, vmax)
+                     for cid, sh, sv, qid in raw]
+            frame = (h, w, hmax, vmax, comps)
+        elif tag in (0xC3, 0xC5, 0xC6, 0xC7,
                      0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ImageDecodeError("jpeg: progressive/extended coding not supported")
+            raise ImageDecodeError(
+                "jpeg: arithmetic/lossless/hierarchical coding not supported")
         elif tag == 0xDD:                            # DRI
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif tag == 0xDA:                            # SOS
+            if frame is None:
+                raise ImageDecodeError("jpeg: SOS before SOF")
             ns = body[0]
-            scan_comps = []
+            if len(body) < 1 + 2 * ns + 3:
+                raise ImageDecodeError("jpeg: short SOS")
+            by_cid = {c.cid: c for c in frame[4]}
+            comps_in_scan = []
+            htsel = []
             for i in range(ns):
                 cs, tt = body[1 + 2 * i:3 + 2 * i]
-                scan_comps.append((cs, tt >> 4, tt & 0x0F))
-            scan_start = pos + 2 + seglen
-            break
+                if cs not in by_cid:
+                    raise ImageDecodeError("jpeg: scan references unknown component")
+                comps_in_scan.append(by_cid[cs])
+                htsel.append((tt >> 4, tt & 0x0F))
+            sp = body[1 + 2 * ns:4 + 2 * ns]
+            ss_, se_, ah_, al_ = sp[0], sp[1], sp[2] >> 4, sp[2] & 0x0F
+            if not progressive:
+                ss_, se_, ah_, al_ = 0, 63, 0, 0
+            elif not (ss_ <= se_ <= 63 and (ss_ > 0 or se_ == 0)):
+                raise ImageDecodeError("jpeg: bad spectral range")
+            pos = _decode_scan(data, pos + 2 + seglen, comps_in_scan,
+                               htsel, htables, restart_interval,
+                               progressive, mcus_x, mcus_y,
+                               ss_, se_, ah_, al_)
+            scans_decoded += 1
+            continue
         pos += 2 + seglen
 
-    if frame is None or scan_start is None:
+    if frame is None or scans_decoded == 0:
         raise ImageDecodeError("jpeg: missing SOF/SOS")
-    h, w, comps = frame
-    if h == 0 or w == 0:
-        raise ImageDecodeError("jpeg: zero dimension")
-    if len(scan_comps) != len(comps):
-        raise ImageDecodeError("jpeg: partial scan not supported (baseline)")
-
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    # per-component coefficient stores
-    stores = []
-    by_cid = {c[0]: c for c in comps}
-    scan_info = []
-    for cs, dc_id, ac_id in scan_comps:
-        if cs not in by_cid:
-            raise ImageDecodeError("jpeg: scan references unknown component")
-        cid, sh, sv, qid = by_cid[cs]
-        if qid not in qtables:
-            raise ImageDecodeError("jpeg: missing quant table")
-        if (0, dc_id) not in htables or (1, ac_id) not in htables:
-            raise ImageDecodeError("jpeg: missing huffman table")
-        store = np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int64)
-        stores.append(store)
-        scan_info.append((sh, sv, htables[(0, dc_id)], htables[(1, ac_id)],
-                          qtables[qid], store))
-
-    rdr = _BitReader(data, scan_start)
-    preds = [0] * len(scan_info)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                rdr.align_to_marker()
-                if (rdr.pos + 1 < len(data) and data[rdr.pos] == 0xFF
-                        and 0xD0 <= data[rdr.pos + 1] <= 0xD7):
-                    rdr.pos += 2
-                preds = [0] * len(scan_info)
-            for ci, (sh, sv, dct, act, _qt, store) in enumerate(scan_info):
-                for by in range(sv):
-                    for bx in range(sh):
-                        blk = store[my * sv + by, mx * sh + bx]
-                        s = rdr.read_symbol(dct)
-                        if s > 11:
-                            raise ImageDecodeError("jpeg: bad DC size")
-                        preds[ci] += _extend(rdr.read_bits(s), s)
-                        blk[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rdr.read_symbol(act)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16      # ZRL
-                                    continue
-                                break            # EOB
-                            k += r
-                            if k > 63:
-                                raise ImageDecodeError("jpeg: AC run past block")
-                            blk[ZIGZAG[k]] = _extend(rdr.read_bits(s), s)
-                            k += 1
-            mcu_count += 1
+    h, w, hmax, vmax, comps = frame
 
     # dequantize + IDCT per component (all blocks at once), then upsample
     planes = []
-    for (sh, sv, _d, _a, qt, store) in scan_info:
+    for comp in comps:
+        if comp.qid not in qtables:
+            raise ImageDecodeError("jpeg: missing quant table")
+        qt = qtables[comp.qid]
+        store = comp.store
         bh, bw = store.shape[0], store.shape[1]
         coeffs = (store.reshape(-1, 64) * qt).reshape(-1, 8, 8).astype(np.float64)
         spatial = _idct_blocks(coeffs) + 128.0
         plane = (spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
                         .reshape(bh * 8, bw * 8))
-        if sh < hmax or sv < vmax:
-            plane = np.repeat(np.repeat(plane, vmax // sv, axis=0),
-                              hmax // sh, axis=1)
+        if comp.sh < hmax or comp.sv < vmax:
+            plane = np.repeat(np.repeat(plane, vmax // comp.sv, axis=0),
+                              hmax // comp.sh, axis=1)
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:

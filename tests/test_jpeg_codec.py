@@ -79,12 +79,57 @@ def test_dispatch_sniffs_jpeg():
     assert fmt == "jpeg" and arr.shape == (16, 16, 3)
 
 
-def test_progressive_rejected():
+def test_arithmetic_rejected():
     data = bytearray(encode_jpeg(gradient(16, 16)))
     i = bytes(data).find(b"\xFF\xC0")
-    data[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(ImageDecodeError, match="progressive"):
+    data[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(ImageDecodeError, match="arithmetic"):
         decode_jpeg(bytes(data))
+
+
+@pytest.mark.parametrize("quality,subsample", [
+    (85, "444"), (85, "420"), (50, "444"), (95, "420"),
+])
+def test_progressive_matches_baseline(quality, subsample):
+    """Progressive (SOF2: DC successive approximation + per-component AC
+    spectral selection with EOB runs + AC refinement) must reconstruct the
+    EXACT same pixels as baseline from the same quantized coefficients."""
+    img = gradient(48, 64)
+    b0 = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample))
+    bp = decode_jpeg(encode_jpeg(img, quality=quality, subsample=subsample,
+                                 progressive=True))
+    assert np.array_equal(b0, bp)
+
+
+@pytest.mark.parametrize("shape", [(37, 53), (17, 23), (8, 8), (9, 17)])
+def test_progressive_odd_shapes(shape):
+    """Non-interleaved scans cover the TRUE component block grid (raster
+    order) — exercised hardest at odd dims with 4:2:0 supersampled Y."""
+    img = gradient(*shape)
+    b0 = decode_jpeg(encode_jpeg(img, quality=85, subsample="420"))
+    bp = decode_jpeg(encode_jpeg(img, quality=85, subsample="420",
+                                 progressive=True))
+    assert np.array_equal(b0, bp)
+
+
+def test_progressive_noise_parity():
+    """Dense-coefficient (noise) images hammer the EOB-run + ZRL +
+    correction-bit paths of the refinement codec."""
+    rng = np.random.RandomState(3)
+    for seed in range(4):
+        noise = rng.randint(0, 256, (31 + seed, 41 - seed, 3)).astype(np.uint8)
+        for sub in ("444", "420"):
+            b0 = decode_jpeg(encode_jpeg(noise, quality=92, subsample=sub))
+            bp = decode_jpeg(encode_jpeg(noise, quality=92, subsample=sub,
+                                         progressive=True))
+            assert np.array_equal(b0, bp)
+
+
+def test_progressive_gray():
+    g = np.tile(np.linspace(0, 255, 40).astype(np.uint8), (40, 1))
+    b0 = decode_jpeg(encode_jpeg(g, quality=90))
+    bp = decode_jpeg(encode_jpeg(g, quality=90, progressive=True))
+    assert np.array_equal(b0, bp)
 
 
 def test_bad_soi_rejected():
