@@ -72,8 +72,9 @@ def _extract_pdf(payload: bytes) -> ExtractResult:
     try:
         pages, page_count = pdf_text.parse_pdf(payload)
     except pdf_text.PdfUnsupportedFontError:
-        # CID/Type0 text is undecodable without CMap support — a typed,
-        # taxonomy-stable error row (not the generic exception fallback)
+        # CID/Type0 WITHOUT a /ToUnicode CMap is undecodable — a typed,
+        # taxonomy-stable error row (not the generic exception fallback);
+        # Type0 fonts WITH ToUnicode extract normally via the cmap
         return ExtractResult(id=sha3_id(""), processing_mode="pdf",
                              charset="binary", error="pdf_unsupported_font")
     if page_count == 0 or all(not blocks for blocks in pages):

@@ -112,8 +112,95 @@ class PdfBlock:
 
 
 class PdfUnsupportedFontError(ValueError):
-    """Document declares a CID/Type0 font (multi-byte encoded text this
-    parser cannot decode) — callers map it to a per-doc error row."""
+    """Document declares a CID/Type0 font with no usable /ToUnicode CMap
+    (multi-byte codes this parser cannot map to text) — callers map it to a
+    per-doc error row. Type0 fonts WITH a ToUnicode CMap extract normally
+    (the common real-world case: most generators embed one)."""
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_HEXPAIR_RE = re.compile(rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>")
+_RANGE_RE = re.compile(
+    rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*"
+    rb"(\[(?:\s*<[0-9a-fA-F]+>)+\s*\]|<[0-9a-fA-F]+>)")
+
+
+def _utf16be(hexs: bytes) -> str:
+    try:
+        return bytes.fromhex(hexs.decode("ascii")).decode("utf-16-be",
+                                                          "replace")
+    except ValueError:
+        return "�"
+
+
+def parse_tounicode(data: bytes) -> dict[int, str]:
+    """Parse a /ToUnicode CMap stream (PDF 9.10.3): bfchar entries and
+    bfrange entries in both increment (<lo> <hi> <base>) and array
+    (<lo> <hi> [<d0> <d1> ...]) forms -> {code: unicode string}."""
+    out: dict[int, str] = {}
+    for m in _BFRANGE_RE.finditer(data):
+        for rm in _RANGE_RE.finditer(m.group(1)):
+            lo, hi = int(rm.group(1), 16), int(rm.group(2), 16)
+            if hi - lo > 0xFFFF:          # malformed guard
+                continue
+            dst = rm.group(3)
+            if dst.startswith(b"["):
+                items = re.findall(rb"<([0-9a-fA-F]+)>", dst)
+                for i, it in enumerate(items[:hi - lo + 1]):
+                    out[lo + i] = _utf16be(it)
+            else:
+                base = int(dst[1:-1], 16)
+                for c in range(lo, hi + 1):
+                    cp = base + (c - lo)
+                    out[c] = chr(cp) if cp <= 0x10FFFF else "�"
+    for m in _BFCHAR_RE.finditer(data):
+        for cm in _HEXPAIR_RE.finditer(m.group(1)):
+            out[int(cm.group(1), 16)] = _utf16be(cm.group(2))
+    return out
+
+
+def _load_stream(body: bytes) -> bytes:
+    """Raw (decompressed) stream bytes of an object body, b'' if none."""
+    sm = _STREAM_RE.search(body)
+    if not sm:
+        return b""
+    data = sm.group(1)
+    fm = _NAME_VAL_RE[b"Filter"].search(body)
+    if fm and fm.group(1) == b"FlateDecode":
+        try:
+            data = zlib.decompress(data)
+        except zlib.error:
+            return b""
+    return data
+
+
+_FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+
+
+def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[str, dict | None]:
+    """{'/F1': cmap-or-None} for a page's /Resources /Font dict. A Type0
+    font maps to its ToUnicode cmap; raises PdfUnsupportedFontError for a
+    Type0 font with no usable ToUnicode. Simple (non-Type0) fonts map to
+    None (strings decode as latin-1/WinAnsi approximation)."""
+    fm = _FONTDICT_RE.search(page_body)
+    if not fm:
+        return {}
+    out: dict[str, dict | None] = {}
+    for name, oid in _FONTREF_RE.findall(fm.group(1)):
+        body = objs.get(int(oid), b"")
+        if _TYPE0_RE.search(body):
+            tm = _TOUNICODE_RE.search(body)
+            cmap = parse_tounicode(_load_stream(objs.get(int(tm.group(1)), b""))) \
+                if tm else {}
+            if not cmap:
+                raise PdfUnsupportedFontError("CID/Type0 font without ToUnicode")
+            out["/" + name.decode("latin-1")] = cmap
+        else:
+            out["/" + name.decode("latin-1")] = None
+    return out
 
 
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
@@ -171,13 +258,9 @@ def _parse_objects(payload: bytes) -> dict[int, bytes]:
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b|/Encoding\s*/Identity-[HV]\b")
 
 
-def _page_content_streams(payload: bytes) -> list[bytes]:
-    """Return one decoded content-stream per page, in page-tree order."""
+def _page_content_streams(payload: bytes) -> list[tuple[bytes, dict]]:
+    """One (decoded content-stream, font map) per page, page-tree order."""
     objs = _parse_objects(payload)
-    for body in objs.values():
-        t = _NAME_VAL_RE[b"Type"].search(body)
-        if t and t.group(1) == b"Font" and _TYPE0_RE.search(body):
-            raise PdfUnsupportedFontError("CID/Type0 font")
     pages_obj = None
     for body in objs.values():
         t = _NAME_VAL_RE[b"Type"].search(body)
@@ -196,33 +279,38 @@ def _page_content_streams(payload: bytes) -> list[bytes]:
             oid for oid, body in objs.items()
             if (m := _NAME_VAL_RE[b"Type"].search(body)) and m.group(1) == b"Page"
         )
-    streams: list[bytes] = []
+    streams: list[tuple[bytes, dict]] = []
     for pid in page_ids:
         body = objs.get(pid, b"")
+        fonts = _page_fonts(objs, body)
         cm = _NAME_VAL_RE[b"Contents"].search(body)
         if not cm:
-            streams.append(b"")
+            streams.append((b"", fonts))
             continue
-        cobj = objs.get(int(cm.group(1)), b"")
-        sm = _STREAM_RE.search(cobj)
-        data = sm.group(1) if sm else b""
-        fm = _NAME_VAL_RE[b"Filter"].search(cobj)
-        if fm and fm.group(1) == b"FlateDecode":
-            try:
-                data = zlib.decompress(data)
-            except zlib.error:
-                data = b""
-        streams.append(data)
+        streams.append((_load_stream(objs.get(int(cm.group(1)), b"")), fonts))
     return streams
 
 
-def _runs_from_stream(data: bytes) -> list[Run]:
-    """Execute the text-positioning subset of the content stream."""
+def _runs_from_stream(data: bytes, fonts: dict | None = None) -> list[Run]:
+    """Execute the text-positioning subset of the content stream. `fonts`
+    maps resource names to a ToUnicode cmap (Type0) or None (simple font);
+    strings shown under a cmap font decode as 2-byte big-endian codes."""
+    fonts = fonts or {}
     runs: list[Run] = []
     size = 12.0
     leading = 14.0
     x = y = 0.0
     line_x = line_y = 0.0
+    cmap: dict | None = None
+
+    def shown(s: str) -> str:
+        if cmap is None:
+            return s
+        raw = s.encode("latin-1", "replace")
+        return "".join(
+            cmap.get(int.from_bytes(raw[i:i + 2], "big"), "�")
+            for i in range(0, len(raw) - 1, 2))
+
     stack: list[object] = []  # operand stack (numbers / strings / arrays)
     arr: list[object] | None = None
     for m in _CS_TOKEN_RE.finditer(data):
@@ -251,6 +339,9 @@ def _runs_from_stream(data: bytes) -> list[Run]:
                 if stack and isinstance(stack[-1], float):
                     size = stack[-1]
                     leading = size * 1.2
+                if (len(stack) >= 2 and isinstance(stack[-2], str)
+                        and stack[-2].startswith("/")):
+                    cmap = fonts.get(stack[-2])
             elif op in (b"Td", b"TD"):
                 if len(stack) >= 2 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
                     line_x += stack[-2]
@@ -276,13 +367,13 @@ def _runs_from_stream(data: bytes) -> list[Run]:
                 x, y = line_x, line_y
             elif op == b"Tj":
                 if stack and isinstance(stack[-1], str):
-                    runs.append(Run(int(round(y)), x, size, stack[-1]))
+                    runs.append(Run(int(round(y)), x, size, shown(stack[-1])))
             elif op == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     parts: list[str] = []
                     for el in stack[-1]:
                         if isinstance(el, str):
-                            parts.append(el)
+                            parts.append(shown(el))
                         elif isinstance(el, float) and el < -150:
                             parts.append(" ")
                     if parts:
@@ -291,7 +382,7 @@ def _runs_from_stream(data: bytes) -> list[Run]:
                 line_y -= leading
                 x, y = line_x, line_y
                 if stack and isinstance(stack[-1], str):
-                    runs.append(Run(int(round(y)), x, size, stack[-1]))
+                    runs.append(Run(int(round(y)), x, size, shown(stack[-1])))
             stack = []
             continue
         if arr is not None:
@@ -396,5 +487,6 @@ def _runs_to_blocks(runs: list[Run]) -> list[PdfBlock]:
 def parse_pdf(payload: bytes) -> tuple[list[list[PdfBlock]], int]:
     """Parse PDF bytes -> (per-page block lists, page_count)."""
     streams = _page_content_streams(payload)
-    pages = [_runs_to_blocks(_runs_from_stream(s)) for s in streams]
+    pages = [_runs_to_blocks(_runs_from_stream(s, fonts))
+             for s, fonts in streams]
     return pages, len(streams)

@@ -227,6 +227,10 @@ def q11_monthly_growth(spark: SparkSession, sf: str) -> DataFrame:
          .agg(F.round(F.sum("o_totalprice"), 2).alias("total"),
               F.count("*").alias("n_orders"))
     )
+    # unpartitioned window = ONE partition holds all rows. Safe here ONLY
+    # because the key is calendar months (cardinality bounded ~100s); never
+    # copy this shape for an unbounded key — partition by a coarser column
+    # or restructure as a join instead.
     w = Window.orderBy("month")
     return monthly.withColumn(
         "delta", F.round(F.col("total") - F.coalesce(F.lag("total").over(w), F.lit(0.0)), 2))

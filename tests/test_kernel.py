@@ -242,19 +242,62 @@ def test_pdf_objstm_expansion():
 
 
 def test_pdf_type0_font_error_row():
-    """A CID/Type0 font document yields the typed pdf_unsupported_font
-    error row in BOTH container layouts — never a raise, never silent
-    garbage text."""
+    """A CID/Type0 font document WITHOUT a ToUnicode CMap yields the typed
+    pdf_unsupported_font error row in BOTH container layouts — never a
+    raise, never silent garbage text."""
     import random
 
     from docvision_spark.corpus import make_pdf
 
     for layout15 in (False, True):
         p = make_pdf("u", random.Random(13), "en", force_layout15=layout15,
-                     force_type0=True)
+                     force_type0=True, force_tounicode=False)
         r = extract("u", p)
         assert r.error == "pdf_unsupported_font"
         assert r.processing_mode == "pdf" and r.text == ""
+
+
+def test_pdf_type0_tounicode_extracts():
+    """Type0 + /ToUnicode (the common real-world case): 2-byte-coded zh
+    text decodes through the CMap — identical in both container layouts,
+    headings detected from Tf sizes as usual."""
+    import random
+
+    from docvision_spark.corpus import make_pdf
+
+    outs = []
+    for layout15 in (False, True):
+        p = make_pdf("u", random.Random(3), "en", force_layout15=layout15,
+                     force_type0=True, force_tounicode=True)
+        r = extract("u", p)
+        outs.append((r.error, r.text, r.markdown, r.id))
+    assert outs[0] == outs[1]
+    err, text, md, _ = outs[0]
+    assert err is None
+    assert "。" in text                      # cmap'd zh text came through
+    assert "2026" in text                    # digits via the bfrange entry
+    assert "\n# " in md                      # 20pt title -> heading
+    assert "�" not in text              # every CID mapped
+
+
+def test_parse_tounicode_forms():
+    """CMap parser handles bfchar, increment bfrange, and array bfrange."""
+    from docvision_spark.kernel.pdf_text import parse_tounicode
+
+    cmap = parse_tounicode(b"""
+        1 beginbfrange
+        <0030> <0032> <0041>
+        <0040> <0041> [<4E00> <4E8C>]
+        endbfrange
+        2 beginbfchar
+        <0100> <673A>
+        <0101> <D83DDE00>
+        endbfchar
+        """)
+    assert cmap[0x30] == "A" and cmap[0x32] == "C"      # increment range
+    assert cmap[0x40] == "一" and cmap[0x41] == "二"     # array range
+    assert cmap[0x100] == "机"                           # bfchar
+    assert cmap[0x101] == "😀"                           # surrogate pair
 
 
 # -------------------------------------------------------------- extract ---
