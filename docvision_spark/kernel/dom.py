@@ -107,6 +107,9 @@ class _Builder:
         self.tab_cur_row: list[str] | None = None
         self.tab_cell: list[str] | None = None
         self.tab_signal = 0
+        # head metadata (first occurrence wins, like browsers)
+        self.canonical: str | None = None   # <link rel=canonical href>
+        self.robots: str | None = None      # <meta name=robots content>, lower
 
     # -- signals ---------------------------------------------------------
     def _resolve_signal(self, name: str, attrs_raw: str) -> int:
@@ -200,6 +203,22 @@ class _Builder:
             sig = self.stack[-1].signal if self.stack else 0
             self.blocks.append(Block(kind="figure", text=alt, chars=len(alt),
                                      words=len(alt.split()), signal=sig))
+            return
+        if name == "link":
+            attrs = parse_attrs(attrs_raw)
+            if (attrs.get("rel", "").strip().lower() == "canonical"
+                    and self.canonical is None):
+                href = decode_entities(attrs.get("href", "")).strip()
+                if href:
+                    self.canonical = href
+            return
+        if name == "meta":
+            attrs = parse_attrs(attrs_raw)
+            if (attrs.get("name", "").strip().lower() == "robots"
+                    and self.robots is None):
+                content = attrs.get("content", "").strip().lower()
+                if content:
+                    self.robots = content
             return
         if name in VOID_ELEMENTS:
             return
@@ -333,3 +352,13 @@ class _Builder:
 def segment(html: str) -> list[Block]:
     """Segment an HTML document string into reading-order blocks."""
     return _Builder().run(html)
+
+
+def segment_with_meta(html: str) -> tuple[list[Block], dict]:
+    """segment() + head metadata: {'canonical': href-or-None,
+    'robots': lowercased-content-or-None}. A curation pipeline needs both
+    BEFORE spending dedup cost: rel=canonical is the site's own dup signal,
+    robots=noindex marks pages the publisher excludes from indexing."""
+    b = _Builder()
+    blocks = b.run(html)
+    return blocks, {"canonical": b.canonical, "robots": b.robots}

@@ -14,7 +14,7 @@ from dataclasses import dataclass, field
 
 from docvision_spark.kernel import pdf_text
 from docvision_spark.kernel.charset import decode_html
-from docvision_spark.kernel.dom import segment
+from docvision_spark.kernel.dom import segment_with_meta
 from docvision_spark.kernel.markdown import Span, emit
 
 # Truncation guard: analogue of the reference's adaptive-resize work cap
@@ -40,6 +40,10 @@ class ExtractResult:
     charset: str = ""
     truncated: bool = False
     error: str | None = None
+    # head metadata (HTML only): the site's own dup signal + index policy —
+    # a curation pipeline consults both before paying dedup/training cost
+    canonical_url: str | None = None   # <link rel=canonical href=...>
+    robots: str | None = None          # <meta name=robots content=...>, lower
 
 
 def sha3_id(text: str) -> str:
@@ -55,7 +59,7 @@ _MOJIBAKE_NUM, _MOJIBAKE_DEN = 1, 10
 
 def _extract_html(payload: bytes) -> ExtractResult:
     decoded, charset = decode_html(payload)
-    blocks = segment(decoded)
+    blocks, meta = segment_with_meta(decoded)
     text, markdown, spans = emit(blocks)
     n_bad = text.count("�")
     if text and n_bad * _MOJIBAKE_DEN > len(text) * _MOJIBAKE_NUM:
@@ -65,6 +69,7 @@ def _extract_html(payload: bytes) -> ExtractResult:
         id=sha3_id(text), text=text, markdown=markdown, spans=spans,
         pages=[(1, text, markdown)],
         page_count=1, processing_mode="html", charset=charset,
+        canonical_url=meta["canonical"], robots=meta["robots"],
     )
 
 

@@ -64,6 +64,9 @@ OUTPUT_SCHEMA = StructType([
     StructField("processing_mode", StringType()),
     StructField("charset", StringType()),
     StructField("truncated", BooleanType()),
+    # head metadata (HTML): the publisher's own dup signal + index policy
+    StructField("canonical_url", StringType()),
+    StructField("robots", StringType()),
     StructField("extractor_version", StringType()),
     StructField("processing_time", DoubleType()),
     StructField("bytes_in", LongType()),
@@ -128,6 +131,8 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "processing_mode": r.processing_mode,
                 "charset": r.charset,
                 "truncated": r.truncated,
+                "canonical_url": r.canonical_url,
+                "robots": r.robots,
                 "extractor_version": EXTRACTOR_VERSION,
                 "processing_time": dt,
                 "bytes_in": nbytes,

@@ -38,7 +38,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch))
         .config("spark.sql.files.maxPartitionBytes", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # 32 executor threads stream multi-MB Arrow/binary batches: with
+        # G1's default region size those are "humongous" allocations, and
+        # GCLocker contention produced 10x wall-time swings on identical
+        # queries (observed: same plan 3s then 35s, with GCLocker retry
+        # warnings). Bigger regions make 4 MB batches ordinary allocations.
+        .config("spark.driver.extraJavaOptions",
+                "-XX:+UseG1GC -XX:G1HeapRegionSize=32m")
         .config("spark.python.worker.reuse", "true")
         # python-heavy engine: at high core counts, running a python worker
         # on EVERY slot starves the JVM Arrow-feed threads (measured 25%

@@ -48,7 +48,7 @@ _XCACHE_DOCS = os.path.join(_XCACHE_DIR, "docs.parquet")
 _XCACHE_PAGES = os.path.join(_XCACHE_DIR, "pages.parquet")
 
 
-_XCACHE_REV = 2  # bump when the cache schema changes
+_XCACHE_REV = 3  # rev 3: canonical_url + robots head-metadata columns
 
 
 def _xcache(spark: SparkSession, sf: str) -> None:
@@ -81,7 +81,8 @@ def _xcache(spark: SparkSession, sf: str) -> None:
     (validation_flags(out)
         .select("url", "id", F.length("text").alias("n_chars"), "markdown",
                 "page_count", "processing_mode", "lang", "charset",
-                "truncated", "bytes_in", "error", *flag_cols)
+                "truncated", "canonical_url", "robots", "bytes_in", "error",
+                *flag_cols)
         .write.mode("overwrite").parquet(_XCACHE_DOCS))
     (page_rows(out).select("url", "page_no", "markdown")
         .write.mode("overwrite").parquet(_XCACHE_PAGES))

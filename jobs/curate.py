@@ -5,6 +5,8 @@ deduplicated, quality-filtered text corpus with an audit trail.
     pages ──url dedup──> drop re-crawls/tracking-param variants BEFORE
                          paying extraction cost (canonical_url collapse)
           ──extract──> text ──validate──> structural pass
+          ──robots/canonical──> drop noindex docs; defer to the page's own
+                         rel=canonical target when that doc is present
           ──quality──> score >= threshold
           ──exact dedup──> drop byte-copies (keep smallest url)
           ──minhash near-dup──> drop jaccard>=0.8 duplicates (keep one per pair-cluster)
@@ -66,6 +68,21 @@ def main() -> None:
 
     # 2. structural validation
     valid = validation_flags(out).filter(F.col("valid") & F.col("error").isNull())
+
+    # 2b. publisher metadata policy: robots-noindex pages are excluded
+    #     outright; a page whose rel=canonical names a DIFFERENT url defers
+    #     to that doc when it exists in the corpus (the site's own dup
+    #     signal — cheaper and more authoritative than content dedup)
+    valid = valid.filter(
+        ~F.coalesce(F.col("robots"), F.lit("")).contains("noindex")).cache()
+    report["after_robots"] = valid.count()
+    variants = valid.filter(F.col("canonical_url").isNotNull()
+                            & (F.col("canonical_url") != F.col("url")))
+    targets = valid.select(F.col("url").alias("canonical_url"))
+    deferred = variants.join(targets, "canonical_url", "left_semi") \
+                       .select("url")
+    valid = valid.join(deferred, "url", "left_anti")
+    report["after_canonical"] = valid.count()
 
     # 3. quality floor
     scored = with_quality(valid, "text")

@@ -166,7 +166,8 @@ examples/output/output.json) with max 5 concurrent pages — i.e. <0.06
 docs/sec. BASIC_OCR mode is bounded by 300-dpi rasterization + ONNX
 inference per page. This engine's deterministic kernel does the same
 capability surface (boilerplate strip, reading order, markdown, spans) at
-~485 docs/s/core.
+~{results[2]['docs_per_sec'] / 2:.0f} docs/s/core (this run's local[2]
+rate over 2 cores; single-core pure-kernel rate is higher still).
 
 Updated: {time.strftime('%Y-%m-%d %H:%M:%S UTC', time.gmtime())}
 """)

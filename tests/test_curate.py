@@ -20,8 +20,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_curate_drops_planted_duplicates(tmp_path):
     from docvision_spark.corpus import gen_urls, make_page
 
+    import re as _re
+
     recs = [make_page(u) for u in gen_urls(60)]
     rows = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+
+    def sanitize(html: bytes) -> bytes:
+        # strip head metadata so the robots/canonical stages are no-ops in
+        # THIS test (the dup-count arithmetic below assumes every planted
+        # pair reaches the content-dedup stages; the metadata stages have
+        # their own dedicated test) — extracted TEXT is unchanged, so the
+        # copies stay exact text duplicates
+        html = _re.sub(rb'<link rel="canonical"[^>]*>\n?', b"", html)
+        return _re.sub(rb'<meta name="robots"[^>]*>\n?', b"", html)
 
     def add(url, ts, html, lang):
         rows["url"].append(url)
@@ -32,6 +43,7 @@ def test_curate_drops_planted_duplicates(tmp_path):
 
     n_html = 0
     for r in recs:
+        r.html = sanitize(r.html)
         add(r.url, r.warc_ts, r.html, r.lang)
         if r.html[:5] != b"%PDF-" and n_html < 8:
             n_html += 1
@@ -85,3 +97,67 @@ def test_curate_drops_planted_duplicates(tmp_path):
         f"select count(*), count(distinct id) from read_parquet('{out_dir}/data/*.parquet')"
     ).fetchone()
     assert got[0] == got[1] == report["after_near_dedup"]
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_curate_robots_and_canonical_stage(tmp_path):
+    """The publisher-metadata stage: noindex docs are excluded; a doc whose
+    rel=canonical names ANOTHER present url defers to it; self-canonical
+    and dangling-canonical docs survive."""
+    import random as _random
+
+    def page(seed: int, head: str = "") -> bytes:
+        # per-doc DISTINCT body (same vocab, different word sequence) so the
+        # near-dup stage does not collapse the fixture docs themselves
+        rng = _random.Random(seed)
+        words = ("the of and to market growth report annual revenue system "
+                 "analysis data model energy policy research climate software "
+                 "industry product service development technology").split()
+        body = " ".join(rng.choice(words) for _ in range(120)) + "."
+        return (f'<html><head><title>t</title>{head}</head><body><main>'
+                f"<p>{body}</p></main></body></html>").encode()
+
+    rows = {
+        "url": ["https://ex.com/a", "https://ex.com/b",
+                "https://ex.com/c", "https://ex.com/d",
+                "https://ex.com/e"],
+        "html": [
+            page(1, '<link rel="canonical" href="https://ex.com/a">'),
+            page(2, '<link rel="canonical" href="https://ex.com/a">'),
+            page(3, '<meta name="robots" content="noindex">'),
+            page(4),
+            page(5, '<link rel="canonical" href="https://ex.com/zz">'),
+        ],
+    }
+    import datetime as dt
+    schema = pa.schema([("url", pa.string()),
+                        ("warc_ts", pa.timestamp("us", tz="UTC")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    in_dir = tmp_path / "pages"
+    in_dir.mkdir()
+    pq.write_table(pa.Table.from_pydict({
+        "url": rows["url"],
+        "warc_ts": [dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)] * 5,
+        "html": rows["html"], "text": [None] * 5, "lang": ["en"] * 5,
+    }, schema=schema), str(in_dir / "part-0.parquet"))
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(in_dir), "--output", out_dir,
+         "--cores", "4", "--min-quality", "20"],
+        capture_output=True, text=True, timeout=500, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["after_robots"] == 4        # C (noindex) dropped
+    assert report["after_canonical"] == 3     # B defers to A; E's target absent
+
+    import duckdb
+    urls = {u for (u,) in duckdb.connect().execute(
+        f"select url from read_parquet('{out_dir}/data/*.parquet')").fetchall()}
+    assert "https://ex.com/a" in urls and "https://ex.com/e" in urls
+    assert "https://ex.com/b" not in urls and "https://ex.com/c" not in urls

@@ -280,6 +280,22 @@ def test_pdf_type0_tounicode_extracts():
     assert "�" not in text              # every CID mapped
 
 
+def test_head_metadata_extraction():
+    """rel=canonical + meta robots surface on ExtractResult; first
+    occurrence wins; absent -> None; body text unaffected."""
+    html = (b'<html><head><link rel="canonical" href="https://ex.com/a">'
+            b'<link rel="canonical" href="https://ex.com/b">'
+            b'<meta name="ROBOTS" content="NOINDEX, follow"></head>'
+            b"<body><main><p>Body text of sufficient length for a block."
+            b"</p></main></body></html>")
+    r = extract("u", html)
+    assert r.canonical_url == "https://ex.com/a"     # first wins
+    assert r.robots == "noindex, follow"             # lowercased
+    assert "Body text" in r.text
+    r2 = extract("u", b"<main><p>No head metadata here at all.</p></main>")
+    assert r2.canonical_url is None and r2.robots is None
+
+
 def test_parse_tounicode_forms():
     """CMap parser handles bfchar, increment bfrange, and array bfrange."""
     from docvision_spark.kernel.pdf_text import parse_tounicode
