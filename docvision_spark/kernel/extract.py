@@ -82,6 +82,12 @@ def _extract_pdf(payload: bytes) -> ExtractResult:
         # Type0 fonts WITH ToUnicode extract normally via the cmap
         return ExtractResult(id=sha3_id(""), processing_mode="pdf",
                              charset="binary", error="pdf_unsupported_font")
+    except pdf_text.PdfEncryptedError:
+        # password-protected (empty user password rejected) or an
+        # unsupported security handler — typed error row; RC4/AESV2 docs
+        # openable with the empty user password decrypt and never get here
+        return ExtractResult(id=sha3_id(""), processing_mode="pdf",
+                             charset="binary", error="pdf_encrypted")
     if page_count == 0 or all(not blocks for blocks in pages):
         # %PDF magic but nothing parseable: surface it for lineage instead
         # of silently emitting an empty document

@@ -118,6 +118,15 @@ class PdfUnsupportedFontError(ValueError):
     (the common real-world case: most generators embed one)."""
 
 
+class PdfEncryptedError(ValueError):
+    """Document is encrypted and cannot be opened with the empty user
+    password (password-protected), or uses a security handler outside the
+    supported subset (/Standard, V 1/2/4, RC4 or AESV2). Callers map it to
+    a per-doc `pdf_encrypted` error row. Docs encrypted with an owner
+    password but an EMPTY user password — the overwhelmingly common
+    real-crawl case — decrypt and extract normally."""
+
+
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _HEXPAIR_RE = re.compile(rb"<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>")
@@ -160,12 +169,16 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
-def _load_stream(body: bytes) -> bytes:
-    """Raw (decompressed) stream bytes of an object body, b'' if none."""
+def _load_stream(body: bytes, oid: int = 0, crypt: "_Crypt | None" = None) -> bytes:
+    """Raw (decrypted, decompressed) stream bytes of an object body, b'' if
+    none. Decryption precedes inflate: the stored bytes of an encrypted PDF
+    are Encrypt(Flate(data))."""
     sm = _STREAM_RE.search(body)
     if not sm:
         return b""
     data = sm.group(1)
+    if crypt is not None:
+        data = crypt.decrypt(oid, data)
     fm = _NAME_VAL_RE[b"Filter"].search(body)
     if fm and fm.group(1) == b"FlateDecode":
         try:
@@ -175,12 +188,130 @@ def _load_stream(body: bytes) -> bytes:
     return data
 
 
+# -- standard security handler (PDF 32000-1:2008 §7.6) ----------------------
+
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9a-fA-F]+)>")
+_INT_FIELD = {
+    k: re.compile(rb"/" + k + rb"\s+(-?\d+)") for k in (b"V", b"R", b"P", b"Length")
+}
+
+
+def _dict_string(body: bytes, key: bytes) -> bytes | None:
+    """The raw bytes of a hex (<..>) or literal ((..)) string value for
+    /key in a dict body — enough escape handling for /O and /U."""
+    m = re.search(rb"/" + key + rb"\s*(\(|<)", body)
+    if not m:
+        return None
+    if m.group(1) == b"<":
+        hm = re.match(rb"([0-9a-fA-F\s]*)>", body[m.end():])
+        if not hm:
+            return None
+        hx = re.sub(rb"\s", b"", hm.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    out = bytearray()
+    i, n, depth = m.end(), len(body), 1
+    esc = {ord("n"): 0x0A, ord("r"): 0x0D, ord("t"): 0x09,
+           ord("b"): 0x08, ord("f"): 0x0C,
+           ord("("): 0x28, ord(")"): 0x29, ord("\\"): 0x5C}
+    while i < n and depth:
+        b = body[i]
+        if b == 0x5C and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:
+                code, j = 0, i + 1
+                while j < n and j - i <= 3 and 0x30 <= body[j] <= 0x37:
+                    code = code * 8 + (body[j] - 0x30)
+                    j += 1
+                out.append(code & 0xFF)
+                i = j
+                continue
+            out.append(nxt)
+            i += 2
+            continue
+        if b == 0x28:
+            depth += 1
+        elif b == 0x29:
+            depth -= 1
+            if not depth:
+                break
+        out.append(b)
+        i += 1
+    return bytes(out)
+
+
+class _Crypt:
+    """Per-document decryptor: file key + crypt-filter kind. Generation
+    number is assumed 0 (the synthesizer and the vast majority of real
+    streams; a nonzero gen would only mis-key that one object)."""
+
+    __slots__ = ("key", "aes")
+
+    def __init__(self, key: bytes, aes: bool):
+        self.key = key
+        self.aes = aes
+
+    def decrypt(self, oid: int, data: bytes) -> bytes:
+        from docvision_spark.kernel import pdf_crypt
+        return pdf_crypt.decrypt_object(self.key, oid, 0, data, self.aes)
+
+
+def _build_crypt(payload: bytes, objs: dict[int, bytes]) -> _Crypt | None:
+    """None for unencrypted docs; a _Crypt for docs the empty user password
+    opens; PdfEncryptedError otherwise (password-protected / unsupported
+    handler). Last /Encrypt reference wins (incremental updates)."""
+    em = None
+    for em in _ENCRYPT_REF_RE.finditer(payload):
+        pass
+    if em is None:
+        return None
+    body = objs.get(int(em.group(1)))
+    if body is None:
+        raise PdfEncryptedError("encrypt dict object missing")
+    if not re.search(rb"/Filter\s*/Standard\b", body):
+        raise PdfEncryptedError("non-standard security handler")
+    fields = {}
+    for k, rx in _INT_FIELD.items():
+        fm = rx.search(body)
+        fields[k] = int(fm.group(1)) if fm else None
+    v = fields[b"V"] or 0
+    r = fields[b"R"] or 2
+    if v not in (1, 2, 4):
+        raise PdfEncryptedError(f"unsupported /V {v}")
+    n = (fields[b"Length"] or 40) // 8 if v != 1 else 5
+    if v == 4:
+        n = 16
+    o = _dict_string(body, b"O")
+    u = _dict_string(body, b"U")
+    p = fields[b"P"]
+    if o is None or u is None or p is None:
+        raise PdfEncryptedError("incomplete encrypt dict")
+    aes = v == 4 and b"/AESV2" in body
+    enc_meta = not re.search(rb"/EncryptMetadata\s+false", body)
+    im = None
+    for im in _ID_RE.finditer(payload):
+        pass
+    id0 = bytes.fromhex(im.group(1).decode("ascii")) if im else b""
+    from docvision_spark.kernel import pdf_crypt
+    key = pdf_crypt.check_user_password(b"", o, u, p, id0, n, r, enc_meta)
+    if key is None:
+        raise PdfEncryptedError("password required")
+    return _Crypt(key, aes)
+
+
 _FONTDICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _FONTREF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 
 
-def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[str, dict | None]:
+def _page_fonts(objs: dict[int, bytes], page_body: bytes,
+                crypt: "_Crypt | None" = None) -> dict[str, dict | None]:
     """{'/F1': cmap-or-None} for a page's /Resources /Font dict. A Type0
     font maps to its ToUnicode cmap; raises PdfUnsupportedFontError for a
     Type0 font with no usable ToUnicode. Simple (non-Type0) fonts map to
@@ -193,8 +324,9 @@ def _page_fonts(objs: dict[int, bytes], page_body: bytes) -> dict[str, dict | No
         body = objs.get(int(oid), b"")
         if _TYPE0_RE.search(body):
             tm = _TOUNICODE_RE.search(body)
-            cmap = parse_tounicode(_load_stream(objs.get(int(tm.group(1)), b""))) \
-                if tm else {}
+            cmap = parse_tounicode(
+                _load_stream(objs.get(int(tm.group(1)), b""),
+                             int(tm.group(1)), crypt)) if tm else {}
             if not cmap:
                 raise PdfUnsupportedFontError("CID/Type0 font without ToUnicode")
             out["/" + name.decode("latin-1")] = cmap
@@ -207,16 +339,21 @@ _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 
 
-def _expand_objstm(body: bytes) -> dict[int, bytes]:
+def _expand_objstm(body: bytes, oid: int = 0,
+                   crypt: _Crypt | None = None) -> dict[int, bytes]:
     """Parse one /Type /ObjStm body into {obj_id: obj_body} (PDF 1.5 §7.5.7):
     the decompressed stream holds N (id, offset) integer pairs, then the
-    object bodies back to back starting at /First."""
+    object bodies back to back starting at /First. In an encrypted doc the
+    ObjStm stream itself is encrypted; the objects inside are NOT separately
+    encrypted (spec §7.6.2)."""
     nm = _OBJSTM_N_RE.search(body)
     fm = _OBJSTM_FIRST_RE.search(body)
     sm = _STREAM_RE.search(body)
     if not (nm and fm and sm):
         return {}
     data = sm.group(1)
+    if crypt is not None:
+        data = crypt.decrypt(oid, data)
     filt = _NAME_VAL_RE[b"Filter"].search(body)
     if filt and filt.group(1) == b"FlateDecode":
         try:
@@ -238,21 +375,25 @@ def _expand_objstm(body: bytes) -> dict[int, bytes]:
     return out
 
 
-def _parse_objects(payload: bytes) -> dict[int, bytes]:
+def _parse_objects(payload: bytes) -> tuple[dict[int, bytes], _Crypt | None]:
     """Full-file object scan + ObjStm expansion. A scanner needs no xref
     (classic table or 1.5 xref stream — both are just byte-offset indexes),
     so both file layouts parse identically; compressed objects are recovered
     by expanding every object stream. Top-level objects win id collisions
-    (incremental-update precedence heuristic: later regex match overwrites)."""
+    (incremental-update precedence heuristic: later regex match overwrites).
+    The crypt handle is built from the top-level scan (the /Encrypt dict is
+    never inside an ObjStm, spec §7.5.7) and used to decrypt ObjStm payloads
+    before expansion."""
     objs = {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(payload)}
+    crypt = _build_crypt(payload, objs)
     expanded: dict[int, bytes] = {}
-    for body in objs.values():
+    for oid, body in objs.items():
         t = _NAME_VAL_RE[b"Type"].search(body)
         if t and t.group(1) == b"ObjStm":
-            expanded.update(_expand_objstm(body))
+            expanded.update(_expand_objstm(body, oid, crypt))
     for oid, body in expanded.items():
         objs.setdefault(oid, body)
-    return objs
+    return objs, crypt
 
 
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b|/Encoding\s*/Identity-[HV]\b")
@@ -260,7 +401,7 @@ _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b|/Encoding\s*/Identity-[HV]\b")
 
 def _page_content_streams(payload: bytes) -> list[tuple[bytes, dict]]:
     """One (decoded content-stream, font map) per page, page-tree order."""
-    objs = _parse_objects(payload)
+    objs, crypt = _parse_objects(payload)
     pages_obj = None
     for body in objs.values():
         t = _NAME_VAL_RE[b"Type"].search(body)
@@ -282,12 +423,13 @@ def _page_content_streams(payload: bytes) -> list[tuple[bytes, dict]]:
     streams: list[tuple[bytes, dict]] = []
     for pid in page_ids:
         body = objs.get(pid, b"")
-        fonts = _page_fonts(objs, body)
+        fonts = _page_fonts(objs, body, crypt)
         cm = _NAME_VAL_RE[b"Contents"].search(body)
         if not cm:
             streams.append((b"", fonts))
             continue
-        streams.append((_load_stream(objs.get(int(cm.group(1)), b"")), fonts))
+        streams.append((_load_stream(objs.get(int(cm.group(1)), b""),
+                                     int(cm.group(1)), crypt), fonts))
     return streams
 
 

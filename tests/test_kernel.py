@@ -234,7 +234,7 @@ def test_pdf_objstm_expansion():
 
     p15 = make_pdf("u", random.Random(5), "en", force_layout15=True,
                    force_type0=False)
-    objs = _parse_objects(p15)
+    objs, _crypt = _parse_objects(p15)
     # catalog, pages node and font live only inside the ObjStm
     assert 1 in objs and b"/Catalog" in objs[1]
     assert 2 in objs and b"/Pages" in objs[2]
@@ -294,6 +294,50 @@ def test_head_metadata_extraction():
     assert "Body text" in r.text
     r2 = extract("u", b"<main><p>No head metadata here at all.</p></main>")
     assert r2.canonical_url is None and r2.robots is None
+
+
+def test_encrypted_pdf_extracts_byte_identically():
+    """RC4-40, RC4-128 and AES-128 docs (empty user password) extract the
+    SAME text/markdown as their unencrypted twin, in both file layouts,
+    including through an encrypted /ToUnicode CMap stream."""
+    import random
+
+    from docvision_spark.corpus import make_pdf
+
+    for kind in ("rc4", "rc4_40", "aes"):
+        for layout15 in (False, True):
+            enc = make_pdf("https://e.com/x", random.Random(3), "en",
+                           force_layout15=layout15, force_type0=False,
+                           force_encrypt=kind)
+            plain = make_pdf("https://e.com/x", random.Random(3), "en",
+                             force_layout15=layout15, force_type0=False,
+                             force_encrypt="none")
+            assert enc != plain
+            re_, rp = extract("u", enc), extract("u", plain)
+            assert re_.error is None, (kind, layout15, re_.error)
+            assert re_.text == rp.text and re_.markdown == rp.markdown
+    # Type0 + encrypted ToUnicode stream
+    enc = make_pdf("u2", random.Random(9), "en", force_type0=True,
+                   force_tounicode=True, force_encrypt="aes")
+    plain = make_pdf("u2", random.Random(9), "en", force_type0=True,
+                     force_tounicode=True, force_encrypt="none")
+    assert extract("u2", enc).text == extract("u2", plain).text
+
+
+def test_password_protected_pdf_error_row():
+    """A doc whose USER password is non-empty cannot be opened -> the typed
+    `pdf_encrypted` error row (graceful at-scale behavior, never a crash)."""
+    import random
+
+    from docvision_spark.corpus import make_pdf
+
+    for layout15 in (False, True):
+        locked = make_pdf("https://e.com/locked", random.Random(4), "en",
+                          force_layout15=layout15, force_type0=False,
+                          force_encrypt="locked")
+        r = extract("u", locked)
+        assert r.error == "pdf_encrypted"
+        assert r.text == "" and r.processing_mode == "pdf"
 
 
 def test_parse_tounicode_forms():
