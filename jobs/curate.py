@@ -7,8 +7,13 @@ deduplicated, quality-filtered text corpus with an audit trail.
           ──extract──> text ──validate──> structural pass
           ──robots/canonical──> drop noindex docs; defer to the page's own
                          rel=canonical target when that doc is present
+          ──boilerplate strip──> excise lines repeated across >=4 docs of
+                         one host (corpus-level CCNet-style pass; text only,
+                         markdown keeps the faithful per-page rendering)
           ──quality──> score >= threshold
-          ──exact dedup──> drop byte-copies (keep smallest url)
+          ──exact dedup──> drop content copies (keep smallest url; content
+                         hash recomputed on the STRIPPED text, so docs that
+                         differed only in template lines collapse)
           ──minhash near-dup──> drop jaccard>=0.8 duplicates (keep one per pair-cluster)
           ──> curated parquet + report JSON
 
@@ -81,20 +86,35 @@ def main() -> None:
     targets = valid.select(F.col("url").alias("canonical_url"))
     deferred = variants.join(targets, "canonical_url", "left_semi") \
                        .select("url")
-    valid = valid.join(deferred, "url", "left_anti")
+    valid = valid.join(deferred, "url", "left_anti").cache()
     report["after_canonical"] = valid.count()
 
-    # 3. quality floor
+    # 2c. host-frequency residual boilerplate: lines repeated verbatim in
+    #     >= 4 distinct docs of one host are template text whatever their
+    #     density (newsletter pitches, disclaimers) — excised corpus-wide
+    #     (CCNet-style). Cached above: the strip reads the frame on three
+    #     plan branches (frequent-line census, explode, join-back).
+    from docvision_spark.functions.boilerplate import strip_frequent_lines
+
+    valid = strip_frequent_lines(valid, text_col="text", min_docs=4)
+    valid = valid.filter(F.length(F.trim("text")) > 0)
+
+    # 3. quality floor (scored on the stripped text)
     scored = with_quality(valid, "text")
     kept = scored.filter(F.col("quality_score") >= args.min_quality) \
                  .select("url", "id", "text", "markdown", "page_count",
-                         "lang", "quality_score").cache()
+                         "lang", "quality_score", "n_stripped_lines").cache()
     report["quality_pass"] = kept.count()
+    report["boiler_lines_stripped"] = (
+        kept.agg(F.sum("n_stripped_lines")).first()[0] or 0)
 
-    # 4. exact dedup: keep the lexicographically smallest url per content id
-    #    (id is already the sha3 of the text — no re-hash needed)
-    w_min = kept.groupBy("id").agg(F.min("url").alias("url"))
-    exact = kept.join(w_min, ["id", "url"])  # inner: keeps one row per id
+    # 4. exact dedup: keep the lexicographically smallest url per content
+    #    hash, recomputed on the STRIPPED text (the doc id stays the sha3 of
+    #    the original extraction — lineage — but docs that differed only in
+    #    now-removed template lines must collapse here)
+    kept = kept.withColumn("_cid", F.md5(F.col("text")))
+    w_min = kept.groupBy("_cid").agg(F.min("url").alias("url"))
+    exact = kept.join(w_min, ["_cid", "url"]).drop("_cid")
     report["after_exact_dedup"] = exact.count()
 
     # 5. near-dup drop: keep-lowest-url policy. The pair id is the url
