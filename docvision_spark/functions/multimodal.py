@@ -7,7 +7,10 @@ PNG/BMP/PNM/GIF/JPEG (baseline sequential), computes luma statistics and
 perceptual hashes (aHash/dHash), and re-encodes resized thumbnails — the
 pure-Python analogue of the reference's cv2.imread + adaptive-resize path
 (reference: src/docvision/core/parser.py:554-563, processing/image.py:351-366).
-AUDIO/VIDEO decode stays a declared stub (no ffmpeg/soundfile in this
+AUDIO/VIDEO: WAV (PCM) and y4m decode for REAL (kernel/av_codec.py), and
+MP3 frame headers parse for real (sync walk -> frame count / duration /
+bitrate / sample rate — the metadata a crawl pipeline needs), while MP3's
+coded audio and H.264 stay a declared stub (no ffmpeg/soundfile in this
 container): a deterministic DVSM fake header carries dims/frames so the
 Spark-side plumbing — schema, partitioning, UDF signature, batch shape,
 error rows — is real and tested for those kinds too. Swapping the stub for
@@ -206,6 +209,21 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             duration_s=f["duration_s"], rms=f["rms"],
                             sample_rate=f["sample_rate"],
                         )
+                    elif payload[:3] == b"ID3" or (
+                            len(payload) > 2 and payload[0] == 0xFF
+                            and (payload[1] & 0xE0) == 0xE0):
+                        # MP3: REAL frame-header walk (count/duration/
+                        # bitrate metadata); the coded audio itself is not
+                        # decoded, so rms stays NULL — declared partial
+                        from docvision_spark.kernel.av_codec import \
+                            mp3_stream_info
+                        info = mp3_stream_info(payload)
+                        row.update(
+                            kind="audio", format="mp3",
+                            n_frames=info["n_frames"],
+                            duration_s=info["duration_s"],
+                            sample_rate=info["sample_rate"],
+                        )
                     elif payload[:9] == b"YUV4MPEG2":
                         frames, fps = decode_y4m(payload)
                         f = y4m_features(frames, fps)
@@ -346,6 +364,10 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                 elif mid % 23 == 2:
                     kind, payload = "video", make_fake_media(
                         mid, "video", 320, 240, 25 * (1 + mid % 9))
+                elif mid % 23 == 3:
+                    from docvision_spark.kernel.av_codec import encode_mp3_stub
+                    kind, payload = "audio", encode_mp3_stub(
+                        mid, n_frames=10 + mid % 30)
                 else:
                     kind = "image"
                     seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)

@@ -3,9 +3,12 @@ that need no native libs: WAV (RIFF PCM) and YUV4MPEG2 (y4m raw frames).
 
 With kernel/image_codec.py this makes the multimodal decode stage real for
 all three media kinds in this container: PNG/BMP/PNM images, PCM WAV audio,
-y4m video. Compressed codecs (JPEG/MP3/H.264) stay stubbed — they need
-native decoders that do not exist here, and their absence is declared, not
-faked.
+y4m video. For MP3, the FRAME HEADERS are parsed for real (ISO/IEC 11172-3
+sync walk: version/layer/bitrate/samplerate tables -> frame count, duration,
+bitrate — the metadata a crawl pipeline actually needs), while the coded
+audio itself (huffman MDCT subband data) stays undecoded and rms-style
+features are NULL for mp3 rows; that remaining gap is declared, not faked.
+H.264 remains fully stubbed.
 
 Both formats are fully specified by public docs (RIFF/WAVE: Microsoft
 multimedia spec; YUV4MPEG2: mjpegtools). All math integer or float64 so
@@ -185,8 +188,138 @@ def y4m_features(frames: np.ndarray, fps: float) -> dict:
     }
 
 
+# ----------------------------------------------------------------- MP3 -----
+# ISO/IEC 11172-3 (MPEG-1) / 13818-3 (MPEG-2) frame-header tables. Header:
+# AAAAAAAA AAABBCCD EEEEFFGH IIJJKLMM  (sync=11x1, B=version, C=layer,
+# D=crc, E=bitrate idx, F=samplerate idx, G=padding).
+
+# bitrate kbps by (version_group, layer): v1 = MPEG-1, v2 = MPEG-2/2.5
+_MP3_BITRATE = {
+    ("v1", 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    ("v1", 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    ("v1", 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    ("v2", 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    ("v2", 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    ("v2", 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATE = {3: [44100, 48000, 32000],   # MPEG-1
+             2: [22050, 24000, 16000],   # MPEG-2
+             0: [11025, 12000, 8000]}    # MPEG-2.5
+# samples per frame by (version_group, layer)
+_MP3_SAMPLES = {("v1", 1): 384, ("v1", 2): 1152, ("v1", 3): 1152,
+                ("v2", 1): 384, ("v2", 2): 1152, ("v2", 3): 576}
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if none); size field is
+    sync-safe (7 bits per byte)."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    s = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+         | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
+    return 10 + s
+
+
+def mp3_stream_info(data: bytes) -> dict:
+    """Walk MP3 frame headers -> stream metadata (NO audio decode).
+
+    Returns {n_frames, duration_s, sample_rate, bitrate_kbps (mean),
+    version, layer}. Resyncs over at most 4 KB of junk between frames
+    (truncated downloads, dirty crawl payloads); raises AvDecodeError when
+    no valid frame exists."""
+    pos = _id3v2_size(data)
+    n = len(data)
+    frames = 0
+    duration = 0.0
+    bitrate_sum = 0
+    version = layer = None
+    sample_rate = None
+    junk_budget = 4096
+    while pos + 4 <= n:
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
+            pos += 1
+            junk_budget -= 1
+            if junk_budget <= 0:
+                break
+            continue
+        b1, b2 = data[pos + 1], data[pos + 2]
+        ver_bits = (b1 >> 3) & 0x3          # 0=2.5, 2=MPEG2, 3=MPEG1
+        layer_bits = (b1 >> 1) & 0x3        # 3=L1, 2=L2, 1=L3
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if ver_bits == 1 or layer_bits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            pos += 1
+            junk_budget -= 1
+            if junk_budget <= 0:
+                break
+            continue
+        this_layer = 4 - layer_bits
+        vgroup = "v1" if ver_bits == 3 else "v2"
+        kbps = _MP3_BITRATE[(vgroup, this_layer)][br_idx]
+        rate = _MP3_RATE[ver_bits][sr_idx]
+        samples = _MP3_SAMPLES[(vgroup, this_layer)]
+        if this_layer == 1:
+            flen = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            flen = samples // 8 * kbps * 1000 // rate + padding
+        if flen < 4:
+            pos += 1
+            continue
+        frames += 1
+        duration += samples / rate
+        bitrate_sum += kbps
+        version = {3: "MPEG-1", 2: "MPEG-2", 0: "MPEG-2.5"}[ver_bits]
+        layer = this_layer
+        sample_rate = rate
+        junk_budget = 4096
+        pos += flen
+    if not frames:
+        raise AvDecodeError("mp3: no valid frame header")
+    return {
+        "n_frames": frames,
+        "duration_s": round(duration, 3),
+        "sample_rate": sample_rate,
+        "bitrate_kbps": bitrate_sum // frames,
+        "version": version,
+        "layer": layer,
+    }
+
+
+def encode_mp3_stub(seed: int, n_frames: int = 20, bitrate_kbps: int = 128,
+                    rate: int = 44100) -> bytes:
+    """Deterministic MPEG-1 Layer III stream with VALID frame headers and
+    seeded pseudo-random (non-decodable) frame payloads — the synthetic
+    fixture for header-walk metadata parsing. Includes a small ID3v2 tag so
+    the tag-skip path is exercised."""
+    br_idx = _MP3_BITRATE[("v1", 3)].index(bitrate_kbps)
+    sr_idx = _MP3_RATE[3].index(rate)
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    out = bytearray()
+    tag_body = b"docvision synthetic stream"
+    sz = len(tag_body)
+    out += (b"ID3\x04\x00\x00"
+            + bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                     (sz >> 7) & 0x7F, sz & 0x7F]) + tag_body)
+    for i in range(n_frames):
+        padding = 0
+        hdr = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,          # MPEG-1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2) | (padding << 1),
+            0b11000100,                              # joint stereo, no emphasis
+        ])
+        flen = 1152 // 8 * bitrate_kbps * 1000 // rate + padding
+        body = rng.integers(0, 256, size=flen - 4, dtype=np.uint8)
+        # keep payload free of false sync bytes so the header walk is exact
+        body[body == 0xFF] = 0x7F
+        out += hdr + body.tobytes()
+    return bytes(out)
+
+
 __all__ = [
     "AvDecodeError", "ImageDecodeError",
     "decode_wav", "encode_wav", "wav_features",
     "decode_y4m", "encode_y4m", "y4m_features",
+    "mp3_stream_info", "encode_mp3_stub",
 ]

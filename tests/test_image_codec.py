@@ -310,6 +310,28 @@ def test_y4m_roundtrip_and_motion():
     assert y4m_features(const, 25.0)["motion"] == 0.0
 
 
+def test_mp3_header_walk():
+    from docvision_spark.kernel.av_codec import (
+        AvDecodeError, encode_mp3_stub, mp3_stream_info)
+
+    info = mp3_stream_info(encode_mp3_stub(7, n_frames=38))
+    assert info["n_frames"] == 38 and info["sample_rate"] == 44100
+    assert abs(info["duration_s"] - 38 * 1152 / 44100) < 0.01
+    assert info["version"] == "MPEG-1" and info["layer"] == 3
+    # other bitrate/rate combinations roundtrip through the tables
+    for br, rate in ((320, 48000), (64, 32000), (40, 44100)):
+        i2 = mp3_stream_info(encode_mp3_stub(1, 10, br, rate))
+        assert (i2["n_frames"], i2["bitrate_kbps"], i2["sample_rate"]) == \
+            (10, br, rate)
+    # resync over leading junk (dirty crawl payloads)
+    d = encode_mp3_stub(3, n_frames=5)
+    assert mp3_stream_info(b"\x00" * 150 + d)["n_frames"] == 5
+    # truncated mid-frame: counts only complete header positions, no raise
+    assert mp3_stream_info(d[: len(d) - 40])["n_frames"] >= 4
+    with pytest.raises(AvDecodeError):
+        mp3_stream_info(b"definitely not audio bytes" * 8)
+
+
 def test_av_decode_rejects_garbage():
     from docvision_spark.kernel.av_codec import (
         AvDecodeError, decode_wav, decode_y4m)
