@@ -1,9 +1,10 @@
 """Multimodal columns: image/audio/video as opaque binary columns with typed
 metadata, processed in Arrow-batched mapInPandas stages.
 
-IMAGE decode is REAL: a from-scratch numpy+zlib codec
-(kernel/image_codec.py + kernel/jpeg_codec.py) decodes
-PNG/BMP/PNM/GIF/JPEG (baseline sequential), computes luma statistics and
+IMAGE decode is REAL: a from-scratch numpy+zlib codec (kernel/image_codec.py
++ kernel/jpeg_codec.py + kernel/tiff_codec.py) decodes
+PNG/BMP/PNM/GIF/JPEG (baseline + progressive)/TIFF (none/PackBits/LZW,
+predictor, both byte orders), computes luma statistics and
 perceptual hashes (aHash/dHash), and re-encodes resized thumbnails — the
 pure-Python analogue of the reference's cv2.imread + adaptive-resize path
 (reference: src/docvision/core/parser.py:554-563, processing/image.py:351-366).
@@ -111,6 +112,11 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
                            restart_interval=(2 if seed % 5 == 0 and not prog
                                              else 0),
                            progressive=prog)
+    if fmt == "tiff":
+        from docvision_spark.kernel.tiff_codec import encode_tiff
+        # vary compression by seed: none / PackBits / LZW / LZW+predictor
+        comp = ("none", "packbits", "lzw", "lzw")[seed % 4]
+        return encode_tiff(img, compression=comp, predictor=seed % 4 == 3)
     raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
 
 
@@ -375,6 +381,7 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     h = 24 + (seed % 3) * 8
                     fmt = ("pnm" if mid % 11 == 0
                            else "gif" if mid % 13 == 3
+                           else "tiff" if mid % 13 == 5
                            else "jpeg" if mid % 7 in (2, 4) else "png")
                     payload = make_synthetic_image(seed, w, h, noise=noise, fmt=fmt)
                 out.append({"media_id": mid, "kind": kind, "payload": payload})

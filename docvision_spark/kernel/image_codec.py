@@ -299,6 +299,9 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     if data[:2] == b"\xFF\xD8":
         from docvision_spark.kernel.jpeg_codec import decode_jpeg
         return decode_jpeg(data), "jpeg"
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        from docvision_spark.kernel.tiff_codec import decode_tiff
+        return decode_tiff(data), "tiff"
     raise ImageDecodeError("unknown image format")
 
 

@@ -293,6 +293,11 @@ def _build_crypt(payload: bytes, objs: dict[int, bytes]) -> _Crypt | None:
     if o is None or u is None or p is None:
         raise PdfEncryptedError("incomplete encrypt dict")
     aes = v == 4 and b"/AESV2" in body
+    if v == 4 and re.search(rb"/StmF\s*/Identity\b", body):
+        # streams pass through unencrypted (only strings are encrypted,
+        # and this parser never needs dict strings) — no stream
+        # decryption, and no password gate: the stream bytes are readable
+        return None
     enc_meta = not re.search(rb"/EncryptMetadata\s+false", body)
     im = None
     for im in _ID_RE.finditer(payload):

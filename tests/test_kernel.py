@@ -324,6 +324,39 @@ def test_encrypted_pdf_extracts_byte_identically():
     assert extract("u2", enc).text == extract("u2", plain).text
 
 
+def test_stmf_identity_streams_pass_through():
+    """A V4 doc declaring /StmF /Identity leaves streams UNencrypted (only
+    strings are) — the parser must not decrypt them, whatever the password."""
+    import random
+    import re as _re
+
+    from docvision_spark.corpus import make_pdf
+
+    plain = make_pdf("u", random.Random(6), "en", force_layout15=False,
+                     force_type0=False, force_encrypt="none")
+    locked = make_pdf("u", random.Random(6), "en", force_layout15=False,
+                      force_type0=False, force_encrypt="locked")
+    # graft an Identity-StmF V4 encrypt dict (streams stay plain bytes):
+    # reuse the locked doc's /O //U values but mark streams Identity
+    enc_dict = _re.search(rb"<< /Filter /Standard.*?>>", locked,
+                          _re.DOTALL).group(0)
+    ident = enc_dict.replace(b"/V 2 /R 3", b"/V 4 /R 4").replace(
+        b" /O <", b" /CF << /StdCF << /CFM /V2 >> >> /StmF /Identity"
+                  b" /StrF /StdCF /O <")
+    nobj = max(int(m.group(1)) for m in
+               _re.finditer(rb"(\d+) 0 obj", plain)) + 1
+    doc = plain.replace(
+        b"trailer\n<< /Size",
+        f"{nobj} 0 obj\n".encode() + ident + b"\nendobj\ntrailer\n<< /Size")
+    doc = doc.replace(b" /Root 1 0 R >>",
+                      f" /Root 1 0 R /Encrypt {nobj} 0 R "
+                      f"/ID [<00112233445566778899aabbccddeeff> "
+                      f"<00112233445566778899aabbccddeeff>] >>".encode())
+    r = extract("u", doc)
+    rp = extract("u", plain)
+    assert r.error is None and r.text == rp.text
+
+
 def test_password_protected_pdf_error_row():
     """A doc whose USER password is non-empty cannot be opened -> the typed
     `pdf_encrypted` error row (graceful at-scale behavior, never a crash)."""
