@@ -70,9 +70,16 @@ def strip_frequent_lines(df: DataFrame, url_col: str = "url",
     Returns the input frame with `text_col` rewritten (line order
     preserved; removed lines excised) plus `n_stripped_lines`. Documents
     with no line surviving keep an empty string (callers' empty-content
-    filter then drops them). Implemented as posexplode -> left_anti join
-    against the frequent-line set on (host, line) -> ordered reassembly;
-    deterministic under any partitioning."""
+    filter then drops them); null-url and null-text rows pass through
+    untouched (silently clearing them would hide upstream corruption).
+    Implemented as posexplode -> left_anti join against the frequent-line
+    set on (host, line) -> ordered reassembly; deterministic under any
+    partitioning.
+
+    PRECONDITION: `url_col` must be unique per row (run url_dedup/exact
+    dedup first, as jobs/curate.py does). Two rows sharing a url would have
+    their exploded lines merged by the reassembly groupBy and both rows
+    would receive the interleaved mixture."""
     freq = host_frequent_lines(df, url_col, text_col, min_docs, min_chars)
     exploded = (
         with_host(df, url_col)
@@ -98,14 +105,18 @@ def strip_frequent_lines(df: DataFrame, url_col: str = "url",
         df.withColumn("_n_lines", n_lines)
           .join(rebuilt, on=df[url_col] == rebuilt["url"], how="left")
           .drop(rebuilt["url"])
-          # null text stays null; a doc whose EVERY line was frequent has no
-          # rebuilt row and becomes empty (not silently restored)
+          # null-url / null-text rows pass through untouched (the rebuilt
+          # join can never match them — clearing their text would silently
+          # drop them downstream); a doc whose EVERY line was frequent has
+          # no rebuilt row and becomes empty (not silently restored)
+          .withColumn("_passthru", F.col(url_col).isNull()
+                      | F.col("_n_lines").isNull())
           .withColumn(text_col,
-                      F.when(F.col("_n_lines").isNull(), F.col(text_col))
+                      F.when(F.col("_passthru"), F.col(text_col))
                        .otherwise(F.coalesce("_clean", F.lit(""))))
           .withColumn("n_stripped_lines",
-                      F.when(F.col("_n_lines").isNull(), F.lit(0))
+                      F.when(F.col("_passthru"), F.lit(0))
                        .otherwise(F.col("_n_lines")
                                   - F.coalesce("_n_kept", F.lit(0))))
-          .drop("_clean", "_n_kept", "_n_lines")
+          .drop("_clean", "_n_kept", "_n_lines", "_passthru")
     )

@@ -129,3 +129,31 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
              .filter(F.col("_rn") == 1).drop("_rn"))
     keep = c.groupBy("canonical_url").agg(F.min(url_col).alias(url_col))
     return c.join(keep, ["canonical_url", url_col]).unionByName(nulls)
+
+
+def resolve_href(base: Column, href: Column) -> Column:
+    """Resolve an href against its page url (RFC 3986 §5 subset, the forms
+    rel=canonical links actually take):
+
+      - absolute  (`scheme://...`)  -> as-is
+      - protocol-relative (`//h/p`) -> base's scheme + href
+      - host-relative     (`/p`)    -> base's origin + href
+      - document-relative (`p`)     -> base's directory + href
+
+    Dot-segment normalization (`../`) is NOT applied — rel=canonical hrefs
+    with dot segments are vanishingly rare and a wrong guess is worse than
+    leaving the (then dangling) url unmatched. Null href -> null."""
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base, _HEAD, 1)
+    # directory of the base url: up to the last '/' AFTER the host; a url
+    # with no path ('https://h') has no such slash -> origin + '/'
+    basedir = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)", 1)
+    basedir = F.when(basedir == "", F.concat(origin, F.lit("/"))) \
+               .otherwise(basedir)
+    return (
+        F.when(href.isNull(), F.lit(None).cast("string"))
+         .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), href)
+         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+         .when(href.startswith("/"), F.concat(origin, href))
+         .otherwise(F.concat(basedir, href))
+    )

@@ -99,6 +99,8 @@ _ENTITY_RE = re.compile(r"&(#x?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]*);?")
 # prefix. Frozen like ENTITIES.
 _LEGACY = frozenset((
     "amp", "lt", "gt", "quot", "nbsp", "shy", "copy", "reg",
+    # the uppercase forms HTML5's table accepts without a semicolon
+    "AMP", "LT", "GT", "QUOT", "COPY", "REG",
     "deg", "plusmn", "micro", "middot", "para", "sect",
     "laquo", "raquo", "times", "divide",
     "frac12", "frac14", "frac34", "sup1", "sup2", "sup3",
@@ -141,17 +143,19 @@ def _sub_entity(m: re.Match) -> str:
         if 0 < cp <= 0x10FFFF and not (0xD800 <= cp <= 0xDFFF):
             return chr(cp)
         return "�"
-    if m.group(0).endswith(";"):
+    has_semi = m.group(0).endswith(";")
+    if has_semi:
         rep = ENTITIES.get(body)
         if rep is not None:
             return rep
-        return m.group(0)
-    # no semicolon: only the LEGACY names decode (longest prefix), matching
-    # browser text-content behavior — '&integer' stays literal, '&notify'
-    # becomes '¬ify' exactly as HTML5 specifies
+    # LEGACY names decode by longest prefix even when the run happens to
+    # end with ';' and the full name is unknown: '&notit;' -> '¬it;' is
+    # the HTML5 spec's own example. '&integer' stays literal ('int' is not
+    # legacy), '&notify' -> '¬ify'.
     for n in range(len(body), 1, -1):
         if body[:n] in _LEGACY:
-            return ENTITIES[body[:n]] + body[n:]
+            rep = ENTITIES.get(body[:n]) or ENTITIES[body[:n].lower()]
+            return rep + body[n:] + (";" if has_semi else "")
     return m.group(0)
 
 

@@ -293,11 +293,17 @@ def _build_crypt(payload: bytes, objs: dict[int, bytes]) -> _Crypt | None:
     if o is None or u is None or p is None:
         raise PdfEncryptedError("incomplete encrypt dict")
     aes = v == 4 and b"/AESV2" in body
-    if v == 4 and re.search(rb"/StmF\s*/Identity\b", body):
-        # streams pass through unencrypted (only strings are encrypted,
-        # and this parser never needs dict strings) — no stream
-        # decryption, and no password gate: the stream bytes are readable
-        return None
+    if v == 4:
+        # /StmF selects the STREAM crypt filter; the spec default when the
+        # key is ABSENT is Identity (PDF 32000-1 Table 20) — streams pass
+        # through unencrypted and need no password gate. Only an explicit
+        # /StmF /StdCF routes streams through the standard filter; any
+        # other named filter is one we cannot decrypt.
+        stmf = re.search(rb"/StmF\s*/(\w+)", body)
+        if stmf is None or stmf.group(1) == b"Identity":
+            return None
+        if stmf.group(1) != b"StdCF":
+            raise PdfEncryptedError("unsupported stream crypt filter")
     enc_meta = not re.search(rb"/EncryptMetadata\s+false", body)
     im = None
     for im in _ID_RE.finditer(payload):
@@ -350,21 +356,15 @@ def _expand_objstm(body: bytes, oid: int = 0,
     the decompressed stream holds N (id, offset) integer pairs, then the
     object bodies back to back starting at /First. In an encrypted doc the
     ObjStm stream itself is encrypted; the objects inside are NOT separately
-    encrypted (spec §7.6.2)."""
+    encrypted (spec §7.6.2). Stream extraction/decrypt/inflate is shared
+    with every other stream via _load_stream."""
     nm = _OBJSTM_N_RE.search(body)
     fm = _OBJSTM_FIRST_RE.search(body)
-    sm = _STREAM_RE.search(body)
-    if not (nm and fm and sm):
+    if not (nm and fm):
         return {}
-    data = sm.group(1)
-    if crypt is not None:
-        data = crypt.decrypt(oid, data)
-    filt = _NAME_VAL_RE[b"Filter"].search(body)
-    if filt and filt.group(1) == b"FlateDecode":
-        try:
-            data = zlib.decompress(data)
-        except zlib.error:
-            return {}
+    data = _load_stream(body, oid, crypt)
+    if not data:
+        return {}
     n, first = int(nm.group(1)), int(fm.group(1))
     header = data[:first].split()
     if len(header) < 2 * n:

@@ -44,6 +44,11 @@ def get_spark(
         # GCLocker contention produced 10x wall-time swings on identical
         # queries (observed: same plan 3s then 35s, with GCLocker retry
         # warnings). Bigger regions make 4 MB batches ordinary allocations.
+        # NOTE: this builder conf only reaches the JVM when it is launched
+        # FROM python (bench.py, pytest, driver harness). Under
+        # spark-submit the driver JVM already exists, so deployment must
+        # pass the same flags via `--driver-java-options` (the verify
+        # skill recipe and README do).
         .config("spark.driver.extraJavaOptions",
                 "-XX:+UseG1GC -XX:G1HeapRegionSize=32m")
         .config("spark.python.worker.reuse", "true")

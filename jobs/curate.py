@@ -75,17 +75,29 @@ def main() -> None:
     valid = validation_flags(out).filter(F.col("valid") & F.col("error").isNull())
 
     # 2b. publisher metadata policy: robots-noindex pages are excluded
-    #     outright; a page whose rel=canonical names a DIFFERENT url defers
-    #     to that doc when it exists in the corpus (the site's own dup
-    #     signal — cheaper and more authoritative than content dedup)
+    #     outright; a page whose rel=canonical resolves to a DIFFERENT url
+    #     defers to that doc when it exists in the corpus (the site's own
+    #     dup signal — cheaper and more authoritative than content dedup).
+    #     hrefs are resolved against the page url first (relative
+    #     canonicals are the common real-world form), and a page only
+    #     defers to a target that is NOT itself a canonical-variant: a
+    #     mutual pair (A->B, B->A — the classic www/non-www misconfig) or
+    #     a chain must never drop BOTH sides; content dedup still collapses
+    #     whatever survives.
+    from docvision_spark.functions.urls import resolve_href
+
     valid = valid.filter(
         ~F.coalesce(F.col("robots"), F.lit("")).contains("noindex")).cache()
     report["after_robots"] = valid.count()
-    variants = valid.filter(F.col("canonical_url").isNotNull()
-                            & (F.col("canonical_url") != F.col("url")))
-    targets = valid.select(F.col("url").alias("canonical_url"))
-    deferred = variants.join(targets, "canonical_url", "left_semi") \
-                       .select("url")
+    canon_abs = resolve_href(F.col("url"), F.col("canonical_url"))
+    tagged = valid.withColumn("_canon_abs", canon_abs)
+    is_variant = (F.col("_canon_abs").isNotNull()
+                  & (F.col("_canon_abs") != F.col("url")))
+    nonvariant_targets = tagged.filter(~F.coalesce(is_variant, F.lit(False))) \
+                               .select(F.col("url").alias("_canon_abs"))
+    deferred = (tagged.filter(is_variant)
+                      .join(nonvariant_targets, "_canon_abs", "left_semi")
+                      .select("url"))
     valid = valid.join(deferred, "url", "left_anti").cache()
     report["after_canonical"] = valid.count()
 

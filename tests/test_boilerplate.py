@@ -71,6 +71,23 @@ def test_strip_frequent_lines(spark, docs):
     assert out["https://a.example.com/null"].n_stripped_lines == 0
 
 
+def test_null_url_rows_pass_through_strip(spark):
+    """A null-url row keeps its text verbatim (the reassembly join can
+    never match it; clearing it would silently drop the doc downstream)."""
+    rows = [(f"https://e.com/{i}",
+             "shared template line across documents here\n"
+             f"unique body line number {i} for this doc") for i in range(4)]
+    rows.append((None, "orphan row text that must survive unchanged"))
+    df = spark.createDataFrame(rows, "url string, text string")
+    out = strip_frequent_lines(df, min_docs=4).collect()
+    orphan = [r for r in out if r.url is None][0]
+    assert orphan.text == "orphan row text that must survive unchanged"
+    assert orphan.n_stripped_lines == 0
+    # the named rows still got stripped
+    named = [r for r in out if r.url is not None]
+    assert all("shared template" not in r.text for r in named)
+
+
 def test_strip_preserves_line_order(spark):
     rows = [(f"https://d.com/{i}",
              f"alpha first line of real content number {i}\n"

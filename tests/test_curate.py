@@ -104,7 +104,9 @@ def test_curate_drops_planted_duplicates(tmp_path):
 def test_curate_robots_and_canonical_stage(tmp_path):
     """The publisher-metadata stage: noindex docs are excluded; a doc whose
     rel=canonical names ANOTHER present url defers to it; self-canonical
-    and dangling-canonical docs survive."""
+    and dangling-canonical docs survive; a MUTUAL canonical pair keeps both
+    (never drop both sides of a cycle); relative hrefs resolve against the
+    page url before comparison."""
     import random as _random
 
     def page(seed: int, head: str = "") -> bytes:
@@ -121,13 +123,19 @@ def test_curate_robots_and_canonical_stage(tmp_path):
     rows = {
         "url": ["https://ex.com/a", "https://ex.com/b",
                 "https://ex.com/c", "https://ex.com/d",
-                "https://ex.com/e"],
+                "https://ex.com/e", "https://ex.com/f",
+                "https://ex.com/g", "https://ex.com/h"],
         "html": [
             page(1, '<link rel="canonical" href="https://ex.com/a">'),
             page(2, '<link rel="canonical" href="https://ex.com/a">'),
             page(3, '<meta name="robots" content="noindex">'),
             page(4),
             page(5, '<link rel="canonical" href="https://ex.com/zz">'),
+            # mutual pair: must NOT drop both
+            page(6, '<link rel="canonical" href="https://ex.com/g">'),
+            page(7, '<link rel="canonical" href="https://ex.com/f">'),
+            # relative href: resolves to /a -> defers to a
+            page(8, '<link rel="canonical" href="/a">'),
         ],
     }
     import datetime as dt
@@ -139,8 +147,10 @@ def test_curate_robots_and_canonical_stage(tmp_path):
     in_dir.mkdir()
     pq.write_table(pa.Table.from_pydict({
         "url": rows["url"],
-        "warc_ts": [dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)] * 5,
-        "html": rows["html"], "text": [None] * 5, "lang": ["en"] * 5,
+        "warc_ts": [dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)]
+        * len(rows["url"]),
+        "html": rows["html"], "text": [None] * len(rows["url"]),
+        "lang": ["en"] * len(rows["url"]),
     }, schema=schema), str(in_dir / "part-0.parquet"))
 
     out_dir = str(tmp_path / "curated")
@@ -153,11 +163,15 @@ def test_curate_robots_and_canonical_stage(tmp_path):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     report = json.loads(proc.stdout.strip().splitlines()[-1])
-    assert report["after_robots"] == 4        # C (noindex) dropped
-    assert report["after_canonical"] == 3     # B defers to A; E's target absent
+    assert report["after_robots"] == 7        # C (noindex) dropped
+    # B defers to A; H's relative '/a' resolves and defers to A; E's target
+    # is absent (kept); F<->G are a mutual pair (BOTH kept)
+    assert report["after_canonical"] == 5
 
     import duckdb
     urls = {u for (u,) in duckdb.connect().execute(
         f"select url from read_parquet('{out_dir}/data/*.parquet')").fetchall()}
     assert "https://ex.com/a" in urls and "https://ex.com/e" in urls
+    assert "https://ex.com/f" in urls and "https://ex.com/g" in urls
     assert "https://ex.com/b" not in urls and "https://ex.com/c" not in urls
+    assert "https://ex.com/h" not in urls
