@@ -8,13 +8,14 @@ predictor, both byte orders), computes luma statistics and
 perceptual hashes (aHash/dHash), and re-encodes resized thumbnails — the
 pure-Python analogue of the reference's cv2.imread + adaptive-resize path
 (reference: src/docvision/core/parser.py:554-563, processing/image.py:351-366).
-AUDIO/VIDEO: WAV (PCM) and y4m decode for REAL (kernel/av_codec.py), and
-MP3 frame headers parse for real (sync walk -> frame count / duration /
-bitrate / sample rate — the metadata a crawl pipeline needs), while MP3's
-coded audio and H.264 stay a declared stub (no ffmpeg/soundfile in this
-container): a deterministic DVSM fake header carries dims/frames so the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape,
-error rows — is real and tested for those kinds too. Swapping the stub for
+AUDIO/VIDEO: WAV (PCM) and y4m decode for REAL (kernel/av_codec.py); MP3
+frame headers and MP4/ISO-BMFF boxes parse for real (frame-sync walk and
+moov/mvhd/tkhd/hdlr walk -> duration / dims / bitrate / track kinds — the
+metadata a crawl pipeline needs), while the CODED samples (MP3 MDCT audio,
+H.264 video) stay a declared stub (no ffmpeg/soundfile in this container):
+a deterministic DVSM fake header carries dims/frames so the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape, error rows —
+is real and tested for those kinds too. Swapping the stub for
 pyav/soundfile changes ONE function (_decode_av_stub).
 
 Scale shape: decode runs inside mapInPandas (Arrow batches, no per-row
@@ -230,6 +231,21 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             duration_s=info["duration_s"],
                             sample_rate=info["sample_rate"],
                         )
+                    elif payload[4:8] == b"ftyp":
+                        # MP4/ISO-BMFF: REAL box-walk metadata (duration,
+                        # dims, track kinds); coded samples not decoded,
+                        # so motion/luma stay NULL — declared partial
+                        from docvision_spark.kernel.av_codec import \
+                            mp4_stream_info
+                        info = mp4_stream_info(payload)
+                        row.update(
+                            kind=("video" if "vide" in info["track_kinds"]
+                                  else "audio"),
+                            format="mp4",
+                            width=info["width"], height=info["height"],
+                            n_frames=info["n_tracks"],
+                            duration_s=info["duration_s"],
+                        )
                     elif payload[:9] == b"YUV4MPEG2":
                         frames, fps = decode_y4m(payload)
                         f = y4m_features(frames, fps)
@@ -374,6 +390,11 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     from docvision_spark.kernel.av_codec import encode_mp3_stub
                     kind, payload = "audio", encode_mp3_stub(
                         mid, n_frames=10 + mid % 30)
+                elif mid % 23 == 4:
+                    from docvision_spark.kernel.av_codec import encode_mp4_stub
+                    kind, payload = "video", encode_mp4_stub(
+                        mid, duration_s=1.0 + (mid % 7) / 2,
+                        width=320 + 16 * (mid % 5), height=180 + 12 * (mid % 3))
                 else:
                     kind = "image"
                     seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)

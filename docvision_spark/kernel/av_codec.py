@@ -317,9 +317,112 @@ def encode_mp3_stub(seed: int, n_frames: int = 20, bitrate_kbps: int = 128,
     return bytes(out)
 
 
+# ------------------------------------------------------------- MP4 ---------
+# ISO/IEC 14496-12 (ISO BMFF) box walk: container metadata WITHOUT codec
+# decode — movie duration (mvhd), track dimensions (tkhd 16.16 fixed
+# point), track count and handler kinds (hdlr). The coded samples (mdat)
+# are never touched; like the MP3 header walk this is the metadata a crawl
+# pipeline needs, honestly short of a video decode.
+
+
+def _boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        btype = data[pos + 4:pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                break
+            (size,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < hdr or pos + size > end:
+            break
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_stream_info(data: bytes) -> dict:
+    """Walk ISO BMFF boxes -> {brand, duration_s, width, height, n_tracks,
+    track_kinds}. Raises AvDecodeError when ftyp/mvhd are absent."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise AvDecodeError("mp4: no ftyp box")
+    info: dict = {"brand": data[8:12].decode("latin-1").strip(),
+                  "duration_s": None, "width": None, "height": None,
+                  "n_tracks": 0, "track_kinds": []}
+
+    def walk(start: int, end: int) -> None:
+        for btype, b0, b1 in _boxes(data, start, end):
+            if btype == b"mvhd" and b0 < b1:
+                ver = data[b0]
+                if ver == 1 and b0 + 32 <= b1:
+                    ts, dur = struct.unpack(">IQ", data[b0 + 20:b0 + 32])
+                elif b0 + 20 <= b1:
+                    ts, dur = struct.unpack(">II", data[b0 + 12:b0 + 20])
+                else:
+                    continue
+                if ts:
+                    info["duration_s"] = round(dur / ts, 3)
+            elif btype == b"tkhd" and b0 < b1:
+                # width/height are 16.16 fixed point at +76 (v0) / +88 (v1)
+                ver = data[b0]
+                off = b0 + (88 if ver == 1 else 76)
+                if off + 8 <= b1:
+                    w, h = struct.unpack(">II", data[off:off + 8])
+                    w, h = w >> 16, h >> 16
+                    if w and h:
+                        info["width"] = max(info["width"] or 0, w)
+                        info["height"] = max(info["height"] or 0, h)
+            elif btype == b"hdlr" and b0 + 12 <= b1:
+                info["track_kinds"].append(
+                    data[b0 + 8:b0 + 12].decode("latin-1"))
+            elif btype == b"trak":
+                info["n_tracks"] += 1
+                walk(b0, b1)
+            elif btype in _MP4_CONTAINERS:
+                walk(b0, b1)
+
+    walk(0, len(data))
+    if info["duration_s"] is None:
+        raise AvDecodeError("mp4: no mvhd box")
+    return info
+
+
+def encode_mp4_stub(seed: int, duration_s: float = 2.5, width: int = 640,
+                    height: int = 360) -> bytes:
+    """Deterministic ftyp + moov (mvhd/trak/tkhd/mdia/hdlr) skeleton with a
+    seeded junk mdat — valid container metadata, non-decodable samples."""
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    ts = 1000
+    dur = int(duration_s * ts)
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd = box(b"mvhd", b"\x00" * 4
+               + struct.pack(">IIII", 0, 0, ts, dur) + b"\x00" * 80)
+    tkhd = box(b"tkhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 1, 0)
+               + struct.pack(">I", dur) + b"\x00" * 52
+               + struct.pack(">II", width << 16, height << 16))
+    hdlr = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12
+               + b"docvision\x00")
+    trak = box(b"trak", tkhd + box(b"mdia", hdlr))
+    moov = box(b"moov", mvhd + trak)
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    mdat = box(b"mdat", rng.integers(0, 256, size=256,
+                                     dtype=np.uint8).tobytes())
+    return ftyp + moov + mdat
+
+
 __all__ = [
     "AvDecodeError", "ImageDecodeError",
     "decode_wav", "encode_wav", "wav_features",
     "decode_y4m", "encode_y4m", "y4m_features",
     "mp3_stream_info", "encode_mp3_stub",
+    "mp4_stream_info", "encode_mp4_stub",
 ]

@@ -332,6 +332,24 @@ def test_mp3_header_walk():
         mp3_stream_info(b"definitely not audio bytes" * 8)
 
 
+def test_mp4_box_walk():
+    from docvision_spark.kernel.av_codec import (
+        AvDecodeError, encode_mp4_stub, mp4_stream_info)
+
+    info = mp4_stream_info(encode_mp4_stub(5, duration_s=3.25,
+                                           width=320, height=240))
+    assert info["duration_s"] == 3.25
+    assert (info["width"], info["height"]) == (320, 240)
+    assert info["n_tracks"] == 1 and info["track_kinds"] == ["vide"]
+    assert info["brand"] == "isom"
+    # truncated moov: the box walk stops cleanly at the boundary
+    d = encode_mp4_stub(1)
+    with pytest.raises(AvDecodeError):
+        mp4_stream_info(d[:20])  # ftyp only, no mvhd
+    with pytest.raises(AvDecodeError):
+        mp4_stream_info(b"\x00\x00\x00\x08free" + b"x" * 50)  # no ftyp
+
+
 def test_av_decode_rejects_garbage():
     from docvision_spark.kernel.av_codec import (
         AvDecodeError, decode_wav, decode_y4m)
