@@ -101,17 +101,25 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _expand_key(key: bytes) -> np.ndarray:
-    """128-bit key -> (11, 16) uint8 round keys."""
-    w = [list(key[i:i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """AES key schedule for 128/192/256-bit keys -> (Nr+1, 16) round keys
+    (FIPS-197 §5.2: Nk = len/4 words, Nr = Nk + 6 rounds; Nk=8 adds the
+    extra SubWord at i % Nk == 4)."""
+    nk = len(key) // 4
+    if nk not in (4, 6, 8) or len(key) % 4:
+        raise ValueError("aes: key must be 16, 24 or 32 bytes")
+    nr = nk + 6
+    w = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [int(_SBOX[b]) for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([a ^ b for a, b in zip(w[i - 4], t)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk > 6 and i % nk == 4:
+            t = [int(_SBOX[b]) for b in t]
+        w.append([a ^ b for a, b in zip(w[i - nk], t)])
     flat = [b for word in w for b in word]
-    return np.array(flat, dtype=np.uint8).reshape(11, 16)
+    return np.array(flat, dtype=np.uint8).reshape(nr + 1, 16)
 
 
 def _mix_columns(st: np.ndarray, inverse: bool) -> np.ndarray:
@@ -132,17 +140,19 @@ def _mix_columns(st: np.ndarray, inverse: bool) -> np.ndarray:
 
 
 def _encrypt_blocks(blocks: np.ndarray, rk: np.ndarray) -> np.ndarray:
+    nr = rk.shape[0] - 1
     st = blocks ^ rk[0]
-    for r in range(1, 10):
+    for r in range(1, nr):
         st = _SBOX[st][:, _SHIFT]
         st = _mix_columns(st, inverse=False) ^ rk[r]
     st = _SBOX[st][:, _SHIFT]
-    return st ^ rk[10]
+    return st ^ rk[nr]
 
 
 def _decrypt_blocks(blocks: np.ndarray, rk: np.ndarray) -> np.ndarray:
-    st = blocks ^ rk[10]
-    for r in range(9, 0, -1):
+    nr = rk.shape[0] - 1
+    st = blocks ^ rk[nr]
+    for r in range(nr - 1, 0, -1):
         st = _INV_SBOX[st[:, _INV_SHIFT]] ^ rk[r]
         st = _mix_columns(st, inverse=True)
     return _INV_SBOX[st[:, _INV_SHIFT]] ^ rk[0]
@@ -277,3 +287,138 @@ def encrypt_object(fkey: bytes, oid: int, gen: int, data: bytes,
     for synthetic corpora — security is not the point, format parity is)."""
     k = object_key(fkey, oid, gen, aes)
     return aes_cbc_encrypt(k, iv, data) if aes else rc4(k, data)
+
+
+# --------------------------------------------------------------------------
+# V5 handler: AES-256, revisions 5 (legacy Adobe) and 6 (ISO 32000-2)
+# /U and /O are 48 bytes: hash(32) + validation salt(8) + key salt(8);
+# /UE //OE hold the AES-256-CBC-NoPad-wrapped file key. AESV3 has NO
+# per-object key — every stream encrypts with the file key directly.
+
+
+# T-table scalar encryptor: the R6 hardened hash chains thousands of
+# single-block CBC encryptions (sequential by design — it is a slow KDF),
+# where per-block numpy dispatch costs ~500us. Four 256-entry 32-bit
+# tables make a pure-python block encrypt ~20x faster; the numpy path
+# stays for bulk parallel decryption.
+
+def _build_ttables():
+    te0 = [0] * 256
+    for a in range(256):
+        s = int(_SBOX[a])
+        te0[a] = (_gf_mul(s, 2) << 24) | (s << 16) | (s << 8) | _gf_mul(s, 3)
+    te1 = [((t >> 8) | ((t & 0xFF) << 24)) & 0xFFFFFFFF for t in te0]
+    te2 = [((t >> 16) | ((t & 0xFFFF) << 16)) & 0xFFFFFFFF for t in te0]
+    te3 = [((t >> 24) | ((t & 0xFFFFFF) << 8)) & 0xFFFFFFFF for t in te0]
+    return te0, te1, te2, te3
+
+
+_TE0, _TE1, _TE2, _TE3 = _build_ttables()
+
+
+def _rk_words(rk: np.ndarray) -> list[int]:
+    flat = rk.reshape(-1)
+    return [int.from_bytes(bytes(flat[i:i + 4]), "big")
+            for i in range(0, flat.shape[0], 4)]
+
+
+def _enc_block_fast(w: list[int], nr: int, inp: bytes) -> bytes:
+    te0, te1, te2, te3, sbox = _TE0, _TE1, _TE2, _TE3, _SBOX
+    s0 = int.from_bytes(inp[0:4], "big") ^ w[0]
+    s1 = int.from_bytes(inp[4:8], "big") ^ w[1]
+    s2 = int.from_bytes(inp[8:12], "big") ^ w[2]
+    s3 = int.from_bytes(inp[12:16], "big") ^ w[3]
+    k = 4
+    for _ in range(nr - 1):
+        t0 = (te0[s0 >> 24] ^ te1[(s1 >> 16) & 0xFF]
+              ^ te2[(s2 >> 8) & 0xFF] ^ te3[s3 & 0xFF] ^ w[k])
+        t1 = (te0[s1 >> 24] ^ te1[(s2 >> 16) & 0xFF]
+              ^ te2[(s3 >> 8) & 0xFF] ^ te3[s0 & 0xFF] ^ w[k + 1])
+        t2 = (te0[s2 >> 24] ^ te1[(s3 >> 16) & 0xFF]
+              ^ te2[(s0 >> 8) & 0xFF] ^ te3[s1 & 0xFF] ^ w[k + 2])
+        t3 = (te0[s3 >> 24] ^ te1[(s0 >> 16) & 0xFF]
+              ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF] ^ w[k + 3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    out = bytearray(16)
+    for i, (a, b, c, d) in enumerate(
+            ((s0, s1, s2, s3), (s1, s2, s3, s0),
+             (s2, s3, s0, s1), (s3, s0, s1, s2))):
+        rkw = w[k + i]
+        out[4 * i] = int(sbox[a >> 24]) ^ (rkw >> 24) & 0xFF
+        out[4 * i + 1] = int(sbox[(b >> 16) & 0xFF]) ^ (rkw >> 16) & 0xFF
+        out[4 * i + 2] = int(sbox[(c >> 8) & 0xFF]) ^ (rkw >> 8) & 0xFF
+        out[4 * i + 3] = int(sbox[d & 0xFF]) ^ rkw & 0xFF
+    return bytes(out)
+
+
+def _cbc_nopad(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
+    if len(data) % 16:
+        raise ValueError("aes-cbc-nopad: data not block-aligned")
+    rk = _expand_key(key)
+    if decrypt:
+        arr = np.frombuffer(iv + data, dtype=np.uint8).reshape(-1, 16)
+        return (_decrypt_blocks(arr[1:], rk) ^ arr[:-1]).tobytes()
+    w = _rk_words(rk)
+    nr = rk.shape[0] - 1
+    prev = iv
+    out = bytearray()
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _enc_block_fast(w, nr, blk)
+        out += prev
+    return bytes(out)
+
+
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (revision 6). For revision
+    5 the hash is a single SHA-256(password + salt + udata)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_nopad(k[:16], k[16:32], k1, decrypt=False)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _v5_hash(password: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    if r == 5:
+        return hashlib.sha256(password + salt + udata).digest()
+    return hash_r6(password, salt, udata)
+
+
+def check_user_password_v5(password: bytes, u: bytes, ue: bytes,
+                           r: int) -> bytes | None:
+    """Algorithm 11 + 8b: validate against /U, unwrap the file key from
+    /UE. Returns the 32-byte file key or None."""
+    if len(u) < 48 or len(ue) < 32:
+        return None
+    vsalt, ksalt = u[32:40], u[40:48]
+    if _v5_hash(password, vsalt, b"", r) != u[:32]:
+        return None
+    inter = _v5_hash(password, ksalt, b"", r)
+    return _cbc_nopad(inter, b"\x00" * 16, ue[:32], decrypt=True)
+
+
+def make_v5_user_entries(password: bytes, file_key: bytes, r: int,
+                         vsalt: bytes, ksalt: bytes) -> tuple[bytes, bytes]:
+    """Synthesizer-side Algorithm 8: build (/U, /UE) for a chosen file key
+    and deterministic salts."""
+    u = _v5_hash(password, vsalt, b"", r) + vsalt + ksalt
+    inter = _v5_hash(password, ksalt, b"", r)
+    ue = _cbc_nopad(inter, b"\x00" * 16, file_key, decrypt=False)
+    return u, ue
+
+
+def decrypt_object_v5(file_key: bytes, data: bytes) -> bytes:
+    """AESV3: iv + ciphertext with the FILE key (no per-object key)."""
+    return aes_cbc_decrypt(file_key, data)
+
+
+def encrypt_object_v5(file_key: bytes, data: bytes,
+                      iv: bytes = b"\x00" * 16) -> bytes:
+    return aes_cbc_encrypt(file_key, iv, data)

@@ -121,10 +121,11 @@ class PdfUnsupportedFontError(ValueError):
 class PdfEncryptedError(ValueError):
     """Document is encrypted and cannot be opened with the empty user
     password (password-protected), or uses a security handler outside the
-    supported subset (/Standard, V 1/2/4, RC4 or AESV2). Callers map it to
-    a per-doc `pdf_encrypted` error row. Docs encrypted with an owner
-    password but an EMPTY user password — the overwhelmingly common
-    real-crawl case — decrypt and extract normally."""
+    supported subset (/Standard, V 1/2/4/5 — RC4, AESV2, AESV3 incl. the
+    R6 hardened hash). Callers map it to a per-doc `pdf_encrypted` error
+    row. Docs encrypted with an owner password but an EMPTY user password
+    — the overwhelmingly common real-crawl case — decrypt and extract
+    normally."""
 
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
@@ -249,16 +250,20 @@ def _dict_string(body: bytes, key: bytes) -> bytes | None:
 class _Crypt:
     """Per-document decryptor: file key + crypt-filter kind. Generation
     number is assumed 0 (the synthesizer and the vast majority of real
-    streams; a nonzero gen would only mis-key that one object)."""
+    streams; a nonzero gen would only mis-key that one object). V5/AESV3
+    has no per-object key at all — streams use the file key directly."""
 
-    __slots__ = ("key", "aes")
+    __slots__ = ("key", "aes", "v5")
 
-    def __init__(self, key: bytes, aes: bool):
+    def __init__(self, key: bytes, aes: bool, v5: bool = False):
         self.key = key
         self.aes = aes
+        self.v5 = v5
 
     def decrypt(self, oid: int, data: bytes) -> bytes:
         from docvision_spark.kernel import pdf_crypt
+        if self.v5:
+            return pdf_crypt.decrypt_object_v5(self.key, data)
         return pdf_crypt.decrypt_object(self.key, oid, 0, data, self.aes)
 
 
@@ -282,18 +287,9 @@ def _build_crypt(payload: bytes, objs: dict[int, bytes]) -> _Crypt | None:
         fields[k] = int(fm.group(1)) if fm else None
     v = fields[b"V"] or 0
     r = fields[b"R"] or 2
-    if v not in (1, 2, 4):
+    if v not in (1, 2, 4, 5):
         raise PdfEncryptedError(f"unsupported /V {v}")
-    n = (fields[b"Length"] or 40) // 8 if v != 1 else 5
-    if v == 4:
-        n = 16
-    o = _dict_string(body, b"O")
-    u = _dict_string(body, b"U")
-    p = fields[b"P"]
-    if o is None or u is None or p is None:
-        raise PdfEncryptedError("incomplete encrypt dict")
-    aes = v == 4 and b"/AESV2" in body
-    if v == 4:
+    if v in (4, 5):
         # /StmF selects the STREAM crypt filter; the spec default when the
         # key is ABSENT is Identity (PDF 32000-1 Table 20) — streams pass
         # through unencrypted and need no password gate. Only an explicit
@@ -304,6 +300,27 @@ def _build_crypt(payload: bytes, objs: dict[int, bytes]) -> _Crypt | None:
             return None
         if stmf.group(1) != b"StdCF":
             raise PdfEncryptedError("unsupported stream crypt filter")
+    from docvision_spark.kernel import pdf_crypt
+    if v == 5:
+        # AES-256 (AESV3): /U carries hash+salts, /UE the wrapped file key
+        u = _dict_string(body, b"U")
+        ue = _dict_string(body, b"UE")
+        if u is None or ue is None:
+            raise PdfEncryptedError("incomplete V5 encrypt dict")
+        key = pdf_crypt.check_user_password_v5(
+            b"", u, ue, r if r in (5, 6) else 6)
+        if key is None:
+            raise PdfEncryptedError("password required")
+        return _Crypt(key, aes=True, v5=True)
+    n = (fields[b"Length"] or 40) // 8 if v != 1 else 5
+    if v == 4:
+        n = 16
+    o = _dict_string(body, b"O")
+    u = _dict_string(body, b"U")
+    p = fields[b"P"]
+    if o is None or u is None or p is None:
+        raise PdfEncryptedError("incomplete encrypt dict")
+    aes = v == 4 and b"/AESV2" in body
     enc_meta = not re.search(rb"/EncryptMetadata\s+false", body)
     im = None
     for im in _ID_RE.finditer(payload):

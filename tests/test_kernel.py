@@ -304,7 +304,7 @@ def test_encrypted_pdf_extracts_byte_identically():
 
     from docvision_spark.corpus import make_pdf
 
-    for kind in ("rc4", "rc4_40", "aes"):
+    for kind in ("rc4", "rc4_40", "aes", "aes256"):
         for layout15 in (False, True):
             enc = make_pdf("https://e.com/x", random.Random(3), "en",
                            force_layout15=layout15, force_type0=False,

@@ -91,6 +91,44 @@ def test_object_crypt_roundtrip():
         assert pc.decrypt_object(fkey, 8, 0, enc, aes) != data
 
 
+def test_aes_192_256_fips_vectors():
+    # FIPS-197 Appendix C.2 / C.3
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k192 = bytes.fromhex("000102030405060708090a0b0c0d0e0f1011121314151617")
+    k256 = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                         "101112131415161718191a1b1c1d1e1f")
+    assert pc.aes_encrypt_block(k192, pt).hex() == \
+        "dda97ca4864cdfe06eaf70a0ec0d7191"
+    assert pc.aes_encrypt_block(k256, pt).hex() == \
+        "8ea2b7ca516745bfeafc49904b496089"
+    assert pc.aes_decrypt_block(
+        k256, bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")) == pt
+    # the T-table scalar fast path (used by the R6 KDF) matches
+    assert pc._cbc_nopad(k256, b"\x00" * 16, pt, decrypt=False).hex() == \
+        "8ea2b7ca516745bfeafc49904b496089"
+
+
+def test_v5_user_entries_roundtrip_r5_and_r6():
+    fkey = bytes(range(32))
+    for r in (5, 6):
+        u, ue = pc.make_v5_user_entries(b"", fkey, r, b"VSALT678", b"KSALT678")
+        assert len(u) == 48 and len(ue) == 32
+        assert pc.check_user_password_v5(b"", u, ue, r) == fkey
+        assert pc.check_user_password_v5(b"nope", u, ue, r) is None
+    # nonempty user password rejects the empty attempt
+    u, ue = pc.make_v5_user_entries(b"secret", fkey, 6, b"V" * 8, b"K" * 8)
+    assert pc.check_user_password_v5(b"", u, ue, 6) is None
+    assert pc.check_user_password_v5(b"secret", u, ue, 6) == fkey
+
+
+def test_v5_object_crypt_uses_file_key_directly():
+    fkey = bytes(range(32))
+    data = b"BT (aesv3 stream content) Tj ET" * 11
+    enc = pc.encrypt_object_v5(fkey, data, iv=b"\x07" * 16)
+    assert pc.decrypt_object_v5(fkey, enc) == data
+    assert pc.decrypt_object_v5(bytes(32), enc) != data
+
+
 def test_cbc_decrypt_garbage_is_safe():
     assert pc.aes_cbc_decrypt(b"0123456789abcdef", b"short") == b""
     assert pc.aes_cbc_decrypt(b"0123456789abcdef", b"x" * 33) == b""
