@@ -256,6 +256,19 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             duration_s=f["duration_s"],
                             mean_luma=f["mean_luma"], motion=f["motion"],
                         )
+                    elif (payload[:4] == b"RIFF"
+                          and payload[8:12] == b"WEBP"):
+                        # WebP: REAL container metadata (dims, format,
+                        # alpha/anim flags); VP8/VP8L bitstreams are not
+                        # pixel-decoded, so luma/hashes stay NULL
+                        from docvision_spark.kernel.image_codec import \
+                            webp_info
+                        wi = webp_info(payload)
+                        row.update(
+                            kind="image", format=wi["format"] or "webp-anim",
+                            width=wi["width"], height=wi["height"],
+                            n_frames=1, duration_s=0.0,
+                        )
                     else:
                         rgb, fmt = decode_image(payload)
                         mean_l, std_l = luma_stats(rgb)
@@ -395,6 +408,12 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     kind, payload = "video", encode_mp4_stub(
                         mid, duration_s=1.0 + (mid % 7) / 2,
                         width=320 + 16 * (mid % 5), height=180 + 12 * (mid % 3))
+                elif mid % 23 == 5:
+                    from docvision_spark.kernel.image_codec import \
+                        encode_webp_stub
+                    kind, payload = "image", encode_webp_stub(
+                        mid, width=64 + 8 * (mid % 6),
+                        height=48 + 4 * (mid % 5), lossless=bool(mid % 2))
                 else:
                     kind = "image"
                     seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)

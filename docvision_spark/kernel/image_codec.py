@@ -305,6 +305,75 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     raise ImageDecodeError("unknown image format")
 
 
+# ----------------------------------------------------------------- WebP ----
+# Container METADATA only (RIFF chunk walk per the public WebP spec):
+# dimensions from VP8X canvas / VP8 keyframe header / VP8L stream header,
+# alpha + animation flags. The VP8/VP8L bitstreams themselves (boolean
+# arithmetic coding / prefix-coded transforms) are NOT decoded — webp rows
+# carry real dims/format but NULL pixel features, a declared partial like
+# the MP3/MP4 header walks in av_codec.
+
+
+def webp_info(data: bytes) -> dict:
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ImageDecodeError("webp: bad RIFF header")
+    import struct
+    info = {"format": None, "width": None, "height": None,
+            "alpha": False, "animated": False}
+    pos = 12
+    end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+    while pos + 8 <= end:
+        ctype = data[pos:pos + 4]
+        (csize,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + csize]
+        if ctype == b"VP8X" and len(body) >= 10:
+            info["alpha"] = bool(body[0] & 0x10)
+            info["animated"] = bool(body[0] & 0x02)
+            info["width"] = int.from_bytes(body[4:7], "little") + 1
+            info["height"] = int.from_bytes(body[7:10], "little") + 1
+        elif ctype == b"VP8 " and len(body) >= 10:
+            info["format"] = "vp8-lossy"
+            if body[3:6] == b"\x9d\x01\x2a":  # keyframe start code
+                if info["width"] is None:
+                    info["width"] = struct.unpack("<H", body[6:8])[0] & 0x3FFF
+                    info["height"] = struct.unpack("<H", body[8:10])[0] & 0x3FFF
+        elif ctype == b"VP8L" and len(body) >= 5:
+            info["format"] = "vp8-lossless"
+            if body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                if info["width"] is None:
+                    info["width"] = (bits & 0x3FFF) + 1
+                    info["height"] = ((bits >> 14) & 0x3FFF) + 1
+                info["alpha"] = info["alpha"] or bool((bits >> 28) & 1)
+        elif ctype == b"ANIM":
+            info["animated"] = True
+        pos += 8 + csize + (csize & 1)  # chunks are 2-byte aligned
+    if info["format"] is None and not info["animated"]:
+        raise ImageDecodeError("webp: no image chunk")
+    return info
+
+
+def encode_webp_stub(seed: int, width: int = 100, height: int = 80,
+                     lossless: bool = True) -> bytes:
+    """Valid WebP container with real headers and seeded junk coefficients
+    (non-decodable payload) — the fixture for header-walk metadata."""
+    import struct
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    junk = rng.integers(0, 256, size=64, dtype=np.uint8).tobytes()
+    if lossless:
+        bits = (width - 1) | ((height - 1) << 14)
+        body = bytes([0x2F]) + bits.to_bytes(4, "little") + junk
+        ctype = b"VP8L"
+    else:
+        body = bytes(3) + b"\x9d\x01\x2a" + struct.pack("<HH", width, height) + junk
+        ctype = b"VP8 "
+    chunk = ctype + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    payload = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
 # ---------------------------------------------------------------- transforms
 
 def to_gray(rgb: np.ndarray) -> np.ndarray:

@@ -332,6 +332,21 @@ def test_mp3_header_walk():
         mp3_stream_info(b"definitely not audio bytes" * 8)
 
 
+def test_webp_header_walk():
+    from docvision_spark.kernel.image_codec import (
+        ImageDecodeError, encode_webp_stub, webp_info)
+
+    for lossless, fmt in ((True, "vp8-lossless"), (False, "vp8-lossy")):
+        wi = webp_info(encode_webp_stub(3, 321, 203, lossless))
+        assert wi["format"] == fmt
+        assert (wi["width"], wi["height"]) == (321, 203)
+        assert not wi["alpha"] and not wi["animated"]
+    with pytest.raises(ImageDecodeError):
+        webp_info(b"RIFF\x10\x00\x00\x00WAVEnotwebp!")
+    with pytest.raises(ImageDecodeError):
+        webp_info(b"RIFF\x04\x00\x00\x00WEBP")  # no image chunk
+
+
 def test_mp4_box_walk():
     from docvision_spark.kernel.av_codec import (
         AvDecodeError, encode_mp4_stub, mp4_stream_info)
