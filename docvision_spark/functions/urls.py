@@ -99,29 +99,40 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
 
     Same-url re-crawls (same url, different html/warc_ts) are collapsed by
     a DEFINED survivor policy, not dropDuplicates' partition-order pick:
-    newest warc_ts wins when the column exists, remaining ties broken by
-    every other atomic column ascending (name order). Output row CONTENT is
-    therefore stable across runs and partitionings whenever re-crawled rows
-    differ in at least one atomic (orderable) column. Null-url rows pass
-    through untouched: they cannot be deduped, and silently dropping them
-    would hide upstream corruption."""
+    newest warc_ts wins when the column exists; remaining ties are broken
+    by every other column ascending (name order) — scalar columns compare
+    natively, while BINARY and non-atomic (array/struct/map) columns
+    compare via xxhash64 of their bytes/JSON so the per-url window sort
+    never runs a row comparator over a multi-MB html payload and the
+    determinism guarantee holds even when re-crawls differ only in a
+    nested column. Output row CONTENT is therefore stable across runs and
+    partitionings (up to 2^-64 hash collisions between differing rows).
+    Null-url rows pass through untouched: they cannot be deduped, and
+    silently dropping them would hide upstream corruption."""
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     nulls = df.filter(F.col(url_col).isNull()) \
               .withColumn("canonical_url", F.lit(None).cast("string"))
     base = with_canonical_url(df.filter(F.col(url_col).isNotNull()), url_col)
-    atomic = sorted(
-        f.name for f in base.schema.fields
-        if f.name not in (url_col, "canonical_url")
-        and isinstance(f.dataType, (T.StringType, T.BinaryType, T.BooleanType,
-                                    T.NumericType, T.TimestampType, T.DateType))
-    )
+    scalar, hashed = [], []
+    for f in sorted(base.schema.fields, key=lambda f: f.name):
+        if f.name in (url_col, "canonical_url"):
+            continue
+        if isinstance(f.dataType, T.BinaryType):
+            hashed.append(F.xxhash64(F.col(f.name)))
+        elif isinstance(f.dataType, (T.StringType, T.BooleanType,
+                                     T.NumericType, T.TimestampType,
+                                     T.DateType)):
+            scalar.append(f.name)
+        else:  # array/struct/map — not natively orderable here: hash JSON
+            hashed.append(F.xxhash64(F.to_json(F.struct(F.col(f.name)))))
     order = []
-    if "warc_ts" in atomic:
+    if "warc_ts" in scalar:
         order.append(F.col("warc_ts").desc_nulls_last())  # newest crawl wins
-        atomic.remove("warc_ts")
-    order += [F.col(c).asc_nulls_last() for c in atomic]
+        scalar.remove("warc_ts")
+    order += [F.col(c).asc_nulls_last() for c in scalar]
+    order += [h.asc_nulls_last() for h in hashed]
     if not order:  # url-only frame: any row is the same row
         order = [F.lit(1)]
     w = Window.partitionBy(url_col).orderBy(*order)

@@ -5,12 +5,13 @@ The reference accepts any cv2-readable image (src/docvision/core/parser.py:
 round-2 verdict named this the biggest remaining capability gap. No
 cv2/PIL/libjpeg exists in this container, so both sides are from scratch:
 
-  decode — baseline sequential, 8-bit, 1 (gray) or 3 (YCbCr) components,
-           arbitrary 1..2 sampling factors (4:4:4 / 4:2:2 / 4:2:0), DRI
-           restart intervals, multiple DQT/DHT segments. Progressive,
-           arithmetic coding, 12-bit and CMYK are rejected with a typed
-           error (they land in the media `error` column, never a task
-           failure).
+  decode — baseline sequential (SOF0) AND progressive (SOF2: spectral
+           selection + successive approximation, DC/AC refinement scans,
+           EOB runs), 8-bit, 1 (gray) or 3 (YCbCr) components, arbitrary
+           1..2 sampling factors (4:4:4 / 4:2:2 / 4:2:0), DRI restart
+           intervals, multiple DQT/DHT segments. Arithmetic coding,
+           12-bit and CMYK are rejected with a typed error (they land in
+           the media `error` column, never a task failure).
   encode — Annex K quant tables scaled by libjpeg's quality curve, Annex K
            huffman tables, 4:4:4 / 4:2:0 / grayscale. Deterministic
            (integer quality scaling, float64 DCT with fixed rounding), used

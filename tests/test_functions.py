@@ -513,3 +513,45 @@ def test_connected_components_transitive(spark):
            for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7,
                    10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
+def test_q12_approx_within_tolerance(spark):
+    """The production approx_percentile variant of q12 must stay within 1%
+    (relative, floor 1 token) of the exact oracle variant per lang/percentile
+    on the test corpus — the convention that licenses swapping it in at
+    100 TB where exact percentile would buffer every value per group."""
+    from docvision_spark.queries import q12_token_quantiles, q12_token_quantiles_approx
+    sf = "/root/testdata/sf0.001"
+    exact = {r["lang"]: r for r in q12_token_quantiles(spark, sf).collect()}
+    approx = {r["lang"]: r for r in q12_token_quantiles_approx(spark, sf).collect()}
+    assert set(exact) == set(approx) and exact
+    for lang, e in exact.items():
+        a = approx[lang]
+        assert a["n_docs"] == e["n_docs"]
+        for p in ("p50", "p90", "p99"):
+            tol = max(1.0, 0.01 * float(e[p]))
+            assert abs(float(a[p]) - float(e[p])) <= tol, (lang, p, e[p], a[p])
+
+
+def test_url_dedup_hashed_tiebreakers(spark):
+    """Re-crawls differing ONLY in a binary or array column must still get
+    a deterministic survivor (hashed tiebreaker), and the html payload must
+    never be a raw sort key."""
+    import datetime as dt
+
+    from docvision_spark.functions.urls import url_dedup
+
+    ts = dt.datetime(2026, 1, 1)
+    rows = [
+        ("http://a.com/x", ts, bytearray(b"\xff" * 8), ["b"]),
+        ("http://a.com/x", ts, bytearray(b"\x00" * 8), ["a", "c"]),
+        ("http://a.com/x", ts, bytearray(b"\x00" * 8), ["zz"]),  # array-only diff
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, tags array<string>")
+    picks = set()
+    for n_parts in (1, 3, 5):
+        got = url_dedup(df.repartition(n_parts)).collect()
+        assert len(got) == 1
+        picks.add((bytes(got[0]["html"]), tuple(got[0]["tags"])))
+    assert len(picks) == 1, f"survivor not deterministic: {picks}"
