@@ -21,6 +21,8 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
@@ -28,14 +30,34 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "48000"))
 
-# Early-exit thresholds for the best-of-3 retry loop, derived from the
-# BENCH/BASELINE.md record rather than hardcoded at the target value: an
-# attempt within 25% of the best uncontended rate ever recorded on this host
-# is accepted as "clean window" evidence and stops the retries. Override the
-# record via env if the host profile changes.
-RECORD_DOCS_PER_SEC = float(os.environ.get("BENCH_RECORD_DPS", "6813"))
-EXTRACT_CLEAN_DPS = RECORD_DOCS_PER_SEC * 0.66
+# Early-exit for the best-of-3 extraction retry loop is RELATIVE (round-3
+# verdict: an absolute record-derived threshold sat above anything a
+# contended window could deliver, so the bench always paid all 3 attempts).
+# Two stop conditions, either suffices:
+#   (a) the attempt reaches 85% of the latest scaling-protocol rate for
+#       this core count (BENCH/history.jsonl — fresh-JVM, same corpus), or
+#   (b) a retry fails to beat the best-so-far by >15% (the window is
+#       stable; more retries only resample the same conditions).
 QUERY_CLEAN_S = float(os.environ.get("BENCH_QUERY_CLEAN_S", "2.0"))
+
+
+def protocol_docs_per_sec(cores: int) -> float | None:
+    """Latest fresh-JVM scaling-protocol rate for `cores` from
+    BENCH/history.jsonl (written by scripts/scaling_bench.py), so the
+    driver-bench vs own-protocol ratio is computable from artifacts alone.
+    None when no protocol run is on record."""
+    path = os.path.join(REPO, "BENCH", "history.jsonl")
+    try:
+        with open(path) as f:
+            lines = [ln for ln in f if ln.strip()]
+        for line in reversed(lines):
+            h = json.loads(line)
+            r = h.get("results", {}).get(str(cores))
+            if r:
+                return float(r["docs_per_sec"])
+    except (OSError, ValueError, KeyError):
+        pass
+    return None
 
 # headline queries timed at SF_DIR (subset of the full registry: one per
 # operator family; full coverage runs in the driver's correctness pass)
@@ -67,20 +89,33 @@ def bench_extraction(spark, n_docs: int) -> dict:
     # best-of-N: the shared host's co-tenant load swings 4-8x between
     # minute-scale windows (BENCH/BASELINE.md capacity probe); a single shot
     # samples the window, best-of approximates the uncontended engine rate.
-    # Early-exit once a clearly-uncontended window is observed.
-    best_wall, n = float("inf"), 0
+    proto_dps = protocol_docs_per_sec(CPUS)
+    best_wall, n, n_total = float("inf"), 0, 0
     attempts = []
     for _ in range(3):
         t0 = time.perf_counter()
         out = extract_pages(pages, partitions=2 * CPUS)
-        n = out.filter("error is null").count()
+        counts = out.groupBy(F.isnull("error").alias("ok")).count().collect()
+        n = sum(r["count"] for r in counts if r["ok"])
+        n_total = sum(r["count"] for r in counts)
         wall = time.perf_counter() - t0
         attempts.append(round(wall, 3))
+        prev_best = best_wall
         best_wall = min(best_wall, wall)
-        if n / wall >= EXTRACT_CLEAN_DPS:
-            break
-    return {"docs": n, "wall_s": round(best_wall, 3),
+        dps = n / wall
+        if proto_dps is not None and dps >= 0.85 * proto_dps:
+            break  # (a) clean window: at protocol rate
+        if wall >= prev_best * 0.85:
+            break  # (b) retry didn't improve >15%: window is stable
+    # `docs` counts successful extractions only; the corpus also plants
+    # documents whose CORRECT output is a typed error row (password-locked
+    # PDFs, bare-Type0 fonts, ...) — docs_error makes the denominator
+    # self-explaining when the corpus version changes it.
+    return {"docs": n, "docs_total": n_total, "docs_error": n_total - n,
+            "wall_s": round(best_wall, 3),
             "docs_per_sec": round(n / best_wall, 1),
+            "protocol_docs_per_sec":
+                round(proto_dps, 1) if proto_dps is not None else None,
             "startup_s": round(startup_s, 3), "attempt_walls": attempts}
 
 

@@ -82,6 +82,11 @@ def _extract_pdf(payload: bytes) -> ExtractResult:
         # Type0 fonts WITH ToUnicode extract normally via the cmap
         return ExtractResult(id=sha3_id(""), processing_mode="pdf",
                              charset="binary", error="pdf_unsupported_font")
+    except pdf_text.PdfUnsupportedFilterError:
+        # a required stream uses a filter outside the supported set
+        # (CCITTFax/JBIG2/DCT/JPX — raster-image filters); typed error row
+        return ExtractResult(id=sha3_id(""), processing_mode="pdf",
+                             charset="binary", error="pdf_unsupported_filter")
     except pdf_text.PdfEncryptedError:
         # password-protected (empty user password rejected) or an
         # unsupported security handler — typed error row; RC4/AESV2 docs

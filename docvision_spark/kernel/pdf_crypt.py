@@ -185,6 +185,14 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+class AesPaddingError(ValueError):
+    """CBC decrypt produced an invalid PKCS#5 pad — in a PDF that has
+    already passed /U authentication this almost always means the derived
+    file key is wrong (e.g. a mis-parsed /ID), not random corruption.
+    pdf_text maps it to the typed `pdf_encrypted` error row instead of
+    silently emitting empty pages (round-3 advice)."""
+
+
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     """Decrypt iv+ciphertext, strip PKCS#5 padding. All blocks decrypt in
     ONE vectorized pass (P_i = InvCipher(C_i) ^ C_{i-1}) — no sequential
@@ -199,7 +207,7 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
     raw = plain.tobytes()
     padlen = raw[-1]
     if not 1 <= padlen <= 16:
-        return b""
+        raise AesPaddingError(f"invalid CBC pad byte {padlen}")
     return raw[:-padlen]
 
 

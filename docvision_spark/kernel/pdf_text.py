@@ -118,6 +118,15 @@ class PdfUnsupportedFontError(ValueError):
     (the common real-world case: most generators embed one)."""
 
 
+class PdfUnsupportedFilterError(ValueError):
+    """A required stream (page content, ObjStm, ToUnicode) declares a
+    /Filter outside the supported set (Flate, LZW, ASCIIHex, ASCII85,
+    RunLength, chains thereof) — e.g. CCITTFaxDecode or JBIG2Decode, which
+    only make sense for raster images. Callers map it to a per-doc
+    `pdf_unsupported_filter` error row (graceful at-scale: a typed lineage
+    bucket, never a task failure)."""
+
+
 class PdfEncryptedError(ValueError):
     """Document is encrypted and cannot be opened with the empty user
     password (password-protected), or uses a security handler outside the
@@ -170,21 +179,177 @@ def parse_tounicode(data: bytes) -> dict[int, str]:
     return out
 
 
+# /Filter value: single name or array of names (chain, applied in array
+# order on decode — ISO 32000-1 §7.4, Table 6). /DecodeParms mirrors it.
+_FILTER_VAL_RE = re.compile(rb"/(?:Filter|F(?![A-Za-z]))\s*(\[[^\]]*\]|/\w+)")
+_DECODEPARMS_RE = re.compile(rb"/(?:DecodeParms|DP)\s*(\[.*?\]|<<.*?>>|null)",
+                             re.DOTALL)
+_PARM_INT = {
+    k: re.compile(rb"/" + k + rb"\s+(-?\d+)")
+    for k in (b"Predictor", b"Colors", b"BitsPerComponent", b"Columns",
+              b"EarlyChange")
+}
+
+# short filter abbreviations are legal in inline images only, but some
+# writers leak them into stream dicts; accept both spellings
+_FILTER_ALIAS = {
+    b"Fl": b"FlateDecode", b"LZW": b"LZWDecode", b"AHx": b"ASCIIHexDecode",
+    b"A85": b"ASCII85Decode", b"RL": b"RunLengthDecode",
+}
+_SUPPORTED_FILTERS = {b"FlateDecode", b"LZWDecode", b"ASCIIHexDecode",
+                      b"ASCII85Decode", b"RunLengthDecode"}
+
+
+def _parm_dicts(body: bytes) -> list[bytes]:
+    """The /DecodeParms value as a list of per-filter dict bodies (b'' for
+    null / absent slots) aligned with the filter chain."""
+    m = _DECODEPARMS_RE.search(body)
+    if not m:
+        return []
+    v = m.group(1)
+    if v == b"null":
+        return []
+    if v.startswith(b"<<"):
+        return [v]
+    # array: split on '<<...>>' / 'null' items in order
+    return [g if g != b"null" else b""
+            for g in re.findall(rb"<<.*?>>|null", v, re.DOTALL)]
+
+
+def _png_unpredict(data: bytes, parms: bytes) -> bytes:
+    """Reverse PNG row predictors 10-15 (ISO 32000-1 §7.4.4.4 defers to the
+    PNG spec) or TIFF predictor 2; predictor 1/absent is identity. Used for
+    Flate/LZW streams whose /DecodeParms carry /Predictor."""
+    pm = _PARM_INT[b"Predictor"].search(parms)
+    pred = int(pm.group(1)) if pm else 1
+    if pred <= 1:
+        return data
+    def _i(key: bytes, dflt: int) -> int:
+        m = _PARM_INT[key].search(parms)
+        return int(m.group(1)) if m else dflt
+    colors = _i(b"Colors", 1)
+    bpc = _i(b"BitsPerComponent", 8)
+    columns = _i(b"Columns", 1)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if pred == 2:  # TIFF horizontal differencing (8-bit only here)
+        if bpc != 8:
+            raise PdfUnsupportedFilterError("predictor 2 with bpc != 8")
+        import numpy as _np
+        n_rows = len(data) // rowlen
+        arr = _np.frombuffer(data[:n_rows * rowlen], dtype=_np.uint8)
+        acc = _np.cumsum(arr.reshape(n_rows, -1, bpp).astype(_np.int64),
+                         axis=1) % 256
+        return acc.astype(_np.uint8).tobytes()
+    # PNG predictors: each row prefixed by a filter-type byte
+    out = bytearray()
+    prev = bytearray(rowlen)
+    pos = 0
+    while pos < len(data):
+        ft = data[pos]
+        row = bytearray(data[pos + 1:pos + 1 + rowlen])
+        pos += 1 + rowlen
+        if ft == 1:   # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ft != 0:
+            raise PdfUnsupportedFilterError(f"png predictor row type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_one_filter(name: bytes, data: bytes, parms: bytes) -> bytes:
+    """Decode one filter stage; raises PdfUnsupportedFilterError for names
+    outside the supported set and ValueError subclasses on corrupt input."""
+    name = _FILTER_ALIAS.get(name, name)
+    if name not in _SUPPORTED_FILTERS:
+        raise PdfUnsupportedFilterError(name.decode("latin-1"))
+    if name == b"FlateDecode":
+        data = zlib.decompress(data)
+        return _png_unpredict(data, parms)
+    if name == b"LZWDecode":
+        from docvision_spark.kernel.tiff_codec import _lzw_decode
+        em = _PARM_INT[b"EarlyChange"].search(parms)
+        early = (int(em.group(1)) if em else 1) != 0
+        data = _lzw_decode(data, 1 << 30, early=early)
+        return _png_unpredict(data, parms)
+    if name == b"ASCIIHexDecode":
+        hx = re.sub(rb"\s", b"", data.split(b">", 1)[0])
+        if len(hx) % 2:
+            hx += b"0"  # §7.4.2: odd final digit implies trailing 0
+        return bytes.fromhex(hx.decode("ascii"))
+    if name == b"ASCII85Decode":
+        import base64
+        raw = re.sub(rb"\s", b"", data)
+        end = raw.find(b"~>")
+        if end != -1:
+            raw = raw[:end]
+        return base64.a85decode(raw, adobe=False)
+    # RunLengthDecode (§7.4.5): L<128 copy L+1; L>128 repeat next 257-L; 128 EOD
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            out += data[i + 1:i + 2 + length]
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                break
+            out += data[i + 1:i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
 def _load_stream(body: bytes, oid: int = 0, crypt: "_Crypt | None" = None) -> bytes:
-    """Raw (decrypted, decompressed) stream bytes of an object body, b'' if
-    none. Decryption precedes inflate: the stored bytes of an encrypted PDF
-    are Encrypt(Flate(data))."""
+    """Raw (decrypted, decoded) stream bytes of an object body, b'' if
+    none. Decryption precedes filter decode: the stored bytes of an
+    encrypted PDF are Encrypt(Filter(data)). The full /Filter chain is
+    applied in array order (Flate / LZW / ASCIIHex / ASCII85 / RunLength,
+    with /DecodeParms predictors for Flate/LZW); unsupported filter names
+    raise PdfUnsupportedFilterError so callers emit a typed error row,
+    while merely corrupt data in a supported filter degrades to b'' (same
+    contract as the old Flate-only path — one bad stream never kills the
+    document)."""
     sm = _STREAM_RE.search(body)
     if not sm:
         return b""
     data = sm.group(1)
     if crypt is not None:
         data = crypt.decrypt(oid, data)
-    fm = _NAME_VAL_RE[b"Filter"].search(body)
-    if fm and fm.group(1) == b"FlateDecode":
+    dict_part = body[:sm.start()]
+    fm = _FILTER_VAL_RE.search(dict_part)
+    if not fm:
+        return data
+    v = fm.group(1)
+    names = re.findall(rb"/(\w+)", v) if v.startswith(b"[") else [v[1:]]
+    parms = _parm_dicts(dict_part)
+    for i, name in enumerate(names):
+        p = parms[i] if i < len(parms) else b""
         try:
-            data = zlib.decompress(data)
-        except zlib.error:
+            data = _apply_one_filter(name, data, p)
+        except PdfUnsupportedFilterError:
+            raise
+        except (ValueError, zlib.error):
             return b""
     return data
 
@@ -192,7 +357,60 @@ def _load_stream(body: bytes, oid: int = 0, crypt: "_Crypt | None" = None) -> by
 # -- standard security handler (PDF 32000-1:2008 §7.6) ----------------------
 
 _ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
-_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9a-fA-F]+)>")
+_ID_RE = re.compile(rb"/ID\s*\[\s*(?=[<(])")
+
+
+def _string_at(body: bytes, i: int) -> bytes | None:
+    """Parse the PDF string object starting at body[i] — hex `<..>` or
+    literal `(..)` with full escape handling (same escape semantics as
+    _dict_string). Real-world PDFs write /ID both ways; the old hex-only
+    regex made literal-string IDs fall back to b'' and derive a wrong file
+    key (round-3 advice)."""
+    if i >= len(body):
+        return None
+    if body[i:i + 1] == b"<":
+        hm = re.match(rb"<([0-9a-fA-F\s]*)>", body[i:])
+        if not hm:
+            return None
+        hx = re.sub(rb"\s", b"", hm.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    if body[i:i + 1] != b"(":
+        return None
+    out = bytearray()
+    i += 1
+    n, depth = len(body), 1
+    esc = {ord("n"): 0x0A, ord("r"): 0x0D, ord("t"): 0x09,
+           ord("b"): 0x08, ord("f"): 0x0C,
+           ord("("): 0x28, ord(")"): 0x29, ord("\\"): 0x5C}
+    while i < n and depth:
+        b = body[i]
+        if b == 0x5C and i + 1 < n:
+            nxt = body[i + 1]
+            if nxt in esc:
+                out.append(esc[nxt])
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:
+                code, j = 0, i + 1
+                while j < n and j - i <= 3 and 0x30 <= body[j] <= 0x37:
+                    code = code * 8 + (body[j] - 0x30)
+                    j += 1
+                out.append(code & 0xFF)
+                i = j
+                continue
+            i += 2
+            continue
+        if b == 0x28:
+            depth += 1
+        elif b == 0x29:
+            depth -= 1
+            if not depth:
+                break
+        out.append(b)
+        i += 1
+    return bytes(out)
 _INT_FIELD = {
     k: re.compile(rb"/" + k + rb"\s+(-?\d+)") for k in (b"V", b"R", b"P", b"Length")
 }
@@ -262,9 +480,15 @@ class _Crypt:
 
     def decrypt(self, oid: int, data: bytes) -> bytes:
         from docvision_spark.kernel import pdf_crypt
-        if self.v5:
-            return pdf_crypt.decrypt_object_v5(self.key, data)
-        return pdf_crypt.decrypt_object(self.key, oid, 0, data, self.aes)
+        try:
+            if self.v5:
+                return pdf_crypt.decrypt_object_v5(self.key, data)
+            return pdf_crypt.decrypt_object(self.key, oid, 0, data, self.aes)
+        except pdf_crypt.AesPaddingError as e:
+            # bad pad after successful /U auth => the stream key is wrong
+            # (mis-parsed /ID or corrupt file) — surface a typed error row
+            # rather than silently-empty pages (round-3 advice)
+            raise PdfEncryptedError(f"decrypt failed: {e}") from e
 
 
 def _build_crypt(payload: bytes, objs: dict[int, bytes]) -> _Crypt | None:
@@ -322,10 +546,11 @@ def _build_crypt(payload: bytes, objs: dict[int, bytes]) -> _Crypt | None:
         raise PdfEncryptedError("incomplete encrypt dict")
     aes = v == 4 and b"/AESV2" in body
     enc_meta = not re.search(rb"/EncryptMetadata\s+false", body)
-    im = None
-    for im in _ID_RE.finditer(payload):
-        pass
-    id0 = bytes.fromhex(im.group(1).decode("ascii")) if im else b""
+    id0 = b""
+    for im in _ID_RE.finditer(payload):  # last /ID wins (incremental updates)
+        s = _string_at(payload, im.end())
+        if s is not None:
+            id0 = s
     from docvision_spark.kernel import pdf_crypt
     key = pdf_crypt.check_user_password(b"", o, u, p, id0, n, r, enc_meta)
     if key is None:

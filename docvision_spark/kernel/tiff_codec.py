@@ -54,10 +54,14 @@ def _read_tag_values(data: bytes, fmt: str, typ: int, count: int,
 
 # ------------------------------------------------------------- TIFF LZW ----
 
-def _lzw_decode(data: bytes, cap: int) -> bytes:
+def _lzw_decode(data: bytes, cap: int, early: bool = True) -> bytes:
     """TIFF 6.0 §13: MSB-first variable-width codes, Clear=256, EOI=257,
     EARLY code-width change (width bumps when the next code to be added is
-    2^width - 1 — one entry earlier than GIF's LSB variant)."""
+    2^width - 1 — one entry earlier than GIF's LSB variant).
+
+    `early=False` gives the non-early variant (PDF /LZWDecode with
+    /EarlyChange 0, ISO 32000-1 §7.4.4.3); pdf_text reuses this decoder for
+    PDF LZW streams, whose bit/table layout is identical to TIFF's."""
     out = bytearray()
     arr = np.frombuffer(data, dtype=np.uint8)
     nbits = arr.shape[0] * 8
@@ -102,8 +106,9 @@ def _lzw_decode(data: bytes, cap: int) -> bytes:
         # early change, decoder side: the decoder's table lags the
         # encoder's by exactly one entry at the same stream position (the
         # KwKwK lag), so it bumps at 2^w - 2 where the encoder bumps at
-        # 2^w - 1 — this IS the "one earlier than GIF" spec rule
-        if len(table) == (1 << width) - 2 and width < 12:
+        # 2^w - 1 — this IS the "one earlier than GIF" spec rule.
+        # Non-early (PDF /EarlyChange 0): everything shifts one entry later.
+        if len(table) == (1 << width) - (2 if early else 1) and width < 12:
             width += 1
     return bytes(out[:cap])
 

@@ -83,9 +83,16 @@ def main() -> None:
 
     eff_2_8 = results[8]["docs_per_sec"] / results[2]["docs_per_sec"] / 4
     eff_8_32 = results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4
+    cap_2_8 = capacity[8] / capacity[2]
     cap_8_32 = capacity[32] / capacity[8]
+    # capacity-normalized: divide the throughput ratio by the CPU the host
+    # actually granted in THIS window (the probe runs in the same window),
+    # so a degraded low-capacity window can't inflate — or deflate — the
+    # engine-scaling number (round-3 advice).
+    eff_2_8_cap = (results[8]["docs_per_sec"] / results[2]["docs_per_sec"]) / cap_2_8
     eff_8_32_cap = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / cap_8_32
-    print(f"efficiency 2->8: {eff_2_8:.2f}; 8->32 raw: {eff_8_32:.2f}; "
+    print(f"efficiency 2->8: {eff_2_8:.2f} (capacity-normalized {eff_2_8_cap:.2f}); "
+          f"8->32 raw: {eff_8_32:.2f}; "
           f"8->32 capacity-normalized: {eff_8_32_cap:.2f}")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -99,16 +106,21 @@ def main() -> None:
             "n_docs": n_docs, "capacity": capacity,
             "results": {str(c): r for c, r in results.items()},
             "eff_2_8": round(eff_2_8, 3), "eff_8_32": round(eff_8_32, 3),
+            "eff_2_8_cap": round(eff_2_8_cap, 3),
         }) + "\n")
     best_ever: dict[int, float] = {}
-    best_eff_2_8 = 0.0
+    effs_2_8: list[float] = []
     with open(hist_path) as f:
         for line in f:
             h = json.loads(line)
             for c, r in h["results"].items():
                 best_ever[int(c)] = max(best_ever.get(int(c), 0.0),
                                         r["docs_per_sec"])
-            best_eff_2_8 = max(best_eff_2_8, h.get("eff_2_8", 0.0))
+            if "eff_2_8" in h:
+                effs_2_8.append(h["eff_2_8"])
+    # median across ALL recorded runs — a single degraded- (or golden-)
+    # window run can't set the headline (round-3 advice)
+    med_eff_2_8 = sorted(effs_2_8)[len(effs_2_8) // 2] if effs_2_8 else eff_2_8
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     rows = "\n".join(
         f"| local[{c}] | {r['docs']} | {r['wall_s']:.2f} | {r['docs_per_sec']:.0f} |"
@@ -137,8 +149,13 @@ sizes, ~10% PDF), url-hash bucketed parquet.
 |---|---|---|---|
 {rows}
 
-**N -> 4N efficiency, 2 -> 8 cores: {eff_2_8:.2f} this run;
-best observed across runs: {best_eff_2_8:.2f}** (target >= 0.8).
+**N -> 4N efficiency, 2 -> 8 cores: {eff_2_8:.2f} this run
+(capacity-normalized for this window: {eff_2_8_cap:.2f});
+median across all {len(effs_2_8)} recorded runs: {med_eff_2_8:.2f}**
+(target >= 0.8). This window's capacity probe: 2 procs {capacity[2]:.0f},
+8 procs {capacity[8]:.0f}, 32 procs {capacity[32]:.0f} units/s — the
+efficiency numbers above should be read against it; a degraded window
+cannot set a record because the headline is the cross-run median.
 8 -> 32 cores raw: {eff_8_32:.2f}; capacity-normalized: {eff_8_32_cap:.2f}.
 
 Best docs/sec ever observed per config (BENCH/history.jsonl):

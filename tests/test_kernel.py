@@ -186,7 +186,7 @@ def test_markdown_heading_clamp():
 def _tiny_pdf() -> bytes:
     from docvision_spark.corpus import make_pdf
     import random
-    return make_pdf("u", random.Random(7), "en")
+    return make_pdf("v", random.Random(7), "en")
 
 
 def test_pdf_parse():
@@ -213,13 +213,13 @@ def test_pdf15_layout_parity():
     from docvision_spark.corpus import make_pdf
 
     for seed in (3, 11, 29):
-        p14 = make_pdf("u", random.Random(seed), "en", force_layout15=False,
+        p14 = make_pdf("v", random.Random(seed), "en", force_layout15=False,
                        force_type0=False)
-        p15 = make_pdf("u", random.Random(seed), "en", force_layout15=True,
+        p15 = make_pdf("v", random.Random(seed), "en", force_layout15=True,
                        force_type0=False)
         assert p14.startswith(b"%PDF-1.4") and p15.startswith(b"%PDF-1.5")
         assert p14 != p15
-        r14, r15 = extract("u", p14), extract("u", p15)
+        r14, r15 = extract("v", p14), extract("v", p15)
         assert r14.error is None and r15.error is None
         assert r14.text == r15.text and r14.markdown == r15.markdown
         assert r14.pages == r15.pages and r14.id == r15.id
@@ -232,7 +232,7 @@ def test_pdf_objstm_expansion():
     from docvision_spark.corpus import make_pdf
     from docvision_spark.kernel.pdf_text import _parse_objects
 
-    p15 = make_pdf("u", random.Random(5), "en", force_layout15=True,
+    p15 = make_pdf("v", random.Random(5), "en", force_layout15=True,
                    force_type0=False)
     objs, _crypt = _parse_objects(p15)
     # catalog, pages node and font live only inside the ObjStm
@@ -250,9 +250,9 @@ def test_pdf_type0_font_error_row():
     from docvision_spark.corpus import make_pdf
 
     for layout15 in (False, True):
-        p = make_pdf("u", random.Random(13), "en", force_layout15=layout15,
+        p = make_pdf("v", random.Random(13), "en", force_layout15=layout15,
                      force_type0=True, force_tounicode=False)
-        r = extract("u", p)
+        r = extract("v", p)
         assert r.error == "pdf_unsupported_font"
         assert r.processing_mode == "pdf" and r.text == ""
 
@@ -267,9 +267,9 @@ def test_pdf_type0_tounicode_extracts():
 
     outs = []
     for layout15 in (False, True):
-        p = make_pdf("u", random.Random(3), "en", force_layout15=layout15,
+        p = make_pdf("v", random.Random(3), "en", force_layout15=layout15,
                      force_type0=True, force_tounicode=True)
-        r = extract("u", p)
+        r = extract("v", p)
         outs.append((r.error, r.text, r.markdown, r.id))
     assert outs[0] == outs[1]
     err, text, md, _ = outs[0]
@@ -332,9 +332,9 @@ def test_stmf_identity_streams_pass_through():
 
     from docvision_spark.corpus import make_pdf
 
-    plain = make_pdf("u", random.Random(6), "en", force_layout15=False,
+    plain = make_pdf("v", random.Random(6), "en", force_layout15=False,
                      force_type0=False, force_encrypt="none")
-    locked = make_pdf("u", random.Random(6), "en", force_layout15=False,
+    locked = make_pdf("v", random.Random(6), "en", force_layout15=False,
                       force_type0=False, force_encrypt="locked")
     # graft an Identity-StmF V4 encrypt dict (streams stay plain bytes):
     # reuse the locked doc's /O //U values but mark streams Identity
@@ -428,3 +428,101 @@ def test_kernel_purity():
         p = make_page(u).html
         a, b = extract(u, p), extract(u, p)
         assert (a.text, a.markdown, a.spans, a.id) == (b.text, b.markdown, b.spans, b.id)
+
+
+# ------------------------------------------------------- PDF stream filters
+
+def _stream_body(filt: str, enc: bytes) -> bytes:
+    return (f"<< {filt}/Length {len(enc)} >>\nstream\n".encode()
+            + enc + b"\nendstream")
+
+
+def test_pdf_filter_roundtrips():
+    """Every supported /Filter (and the A85→Flate chain + Predictor-12
+    parameterization) must decode back to the original stream bytes."""
+    import zlib
+
+    from docvision_spark.corpus import _pdf_stream_filter, _png_up_encode, _rle_encode
+    from docvision_spark.kernel import pdf_text
+    from docvision_spark.kernel.tiff_codec import _lzw_encode
+
+    data = bytes(range(256)) * 37 + b"BT (tail) Tj ET"
+    cases = [
+        ("/Filter /FlateDecode ", zlib.compress(data)),
+        ("/Filter /LZWDecode ", _lzw_encode(data)),
+        ("/Filter /ASCIIHexDecode ", data.hex().encode() + b">"),
+        ("/Filter /RunLengthDecode ", _rle_encode(data)),
+        ("/Filter [/ASCII85Decode /FlateDecode] ",
+         __import__("base64").a85encode(zlib.compress(data)) + b"~>"),
+        ("/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 64 >> ",
+         zlib.compress(_png_up_encode(data, 64))),
+    ]
+    for filt, enc in cases:
+        assert pdf_text._load_stream(_stream_body(filt, enc)) == data, filt
+    # the corpus selector itself must agree with the kernel for many urls
+    for i in range(60):
+        filt, enc = _pdf_stream_filter(f"http://h{i}.test/x", data)
+        if "CCITT" in filt:
+            continue
+        assert pdf_text._load_stream(_stream_body(filt, enc)) == data, filt
+
+
+def test_pdf_lzw_early_change_param():
+    """/EarlyChange 0 streams decode via the non-early table schedule; the
+    default (absent) is early — mixing them up corrupts output past the
+    first width bump, which needs >253 table entries to reach."""
+    from docvision_spark.kernel import pdf_text
+    from docvision_spark.kernel.tiff_codec import _lzw_decode, _lzw_encode
+
+    # long low-entropy data forces several width bumps
+    data = (b"abcd" * 9 + b"efgh~" * 7 + bytes(range(200))) * 40
+    enc = _lzw_encode(data)  # early-change encoder
+    assert _lzw_decode(enc, 1 << 24, early=True) == data
+    body = _stream_body(
+        "/Filter /LZWDecode /DecodeParms << /EarlyChange 1 >> ", enc)
+    assert pdf_text._load_stream(body) == data
+    # wrong schedule must NOT silently round-trip: after the first width
+    # bump the code stream desynchronizes — either corrupt output or a
+    # detected out-of-range code
+    try:
+        assert _lzw_decode(enc, 1 << 24, early=False) != data
+    except Exception:
+        pass  # detected desync is equally acceptable
+
+
+def test_pdf_unsupported_filter_typed_error():
+    """A CCITTFax/JBIG2 content stream becomes a `pdf_unsupported_filter`
+    error row — typed lineage bucket, never a task failure."""
+    import pytest
+
+    from docvision_spark.kernel import pdf_text
+
+    with pytest.raises(pdf_text.PdfUnsupportedFilterError):
+        pdf_text._load_stream(_stream_body("/Filter /CCITTFaxDecode ", b"x"))
+
+    # end-to-end: find corpus urls whose PDFs plant each family
+    import random
+
+    from docvision_spark.corpus import _pdf_stream_filter, make_pdf
+    ccitt_url = flate_url = None
+    for i in range(500):
+        url = f"http://filters{i}.example.com/doc"
+        filt, _ = _pdf_stream_filter(url, b"x")
+        if "CCITT" in filt and ccitt_url is None:
+            ccitt_url = url
+        elif "LZW" in filt and flate_url is None:
+            flate_url = url
+        if ccitt_url and flate_url:
+            break
+    assert ccitt_url and flate_url
+    # the filter only applies to rng-compressed streams; scan seeds for one
+    seed = next(s for s in range(50)
+                if __import__("random").Random(s).randint(1, 3) >= 0
+                and (lambda r: (r.randint(1, 3), r.random())[1] < 0.5)(
+                    __import__("random").Random(s)))
+    bad = make_pdf(ccitt_url, random.Random(seed), "en")
+    r = extract(ccitt_url, bad)
+    assert r.error == "pdf_unsupported_filter" and r.processing_mode == "pdf"
+    good = make_pdf(flate_url, random.Random(seed), "en")
+    r2 = extract(flate_url, good)
+    assert r2.error is None and r2.text
