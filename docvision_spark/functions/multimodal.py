@@ -90,7 +90,7 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
     yy = np.arange(height)[:, None, None]
     xx = np.arange(width)[None, :, None]
     grad = (base[None, None, :] + 2 * yy + 3 * xx) % 256
-    blocks = rng.integers(0, 256, size=(max(1, height // 8), max(1, width // 8), 3))
+    blocks = rng.integers(0, 256, size=((height + 7) // 8, (width + 7) // 8, 3))
     pattern = np.repeat(np.repeat(blocks, 8, axis=0), 8, axis=1)[:height, :width]
     img = ((grad + pattern) // 2).astype(np.int32)
     if noise:
@@ -118,6 +118,10 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
         # vary compression by seed: none / PackBits / LZW / LZW+predictor
         comp = ("none", "packbits", "lzw", "lzw")[seed % 4]
         return encode_tiff(img, compression=comp, predictor=seed % 4 == 3)
+    if fmt == "webp":
+        from docvision_spark.kernel.vp8l_codec import vp8l_encode
+        # lossless VP8L; alternate the subtract-green transform by seed
+        return vp8l_encode(img, subtract_green=bool(seed % 2))
     raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
 
 
@@ -258,9 +262,10 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         )
                     elif (payload[:4] == b"RIFF"
                           and payload[8:12] == b"WEBP"):
-                        # WebP: REAL container metadata (dims, format,
-                        # alpha/anim flags); VP8/VP8L bitstreams are not
-                        # pixel-decoded, so luma/hashes stay NULL
+                        # WebP: lossless (VP8L) pixel-decodes via the
+                        # from-scratch codec -> full features; lossy VP8
+                        # stays a declared header-only partial (real dims,
+                        # NULL luma/hashes)
                         from docvision_spark.kernel.image_codec import \
                             webp_info
                         wi = webp_info(payload)
@@ -269,6 +274,13 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             width=wi["width"], height=wi["height"],
                             n_frames=1, duration_s=0.0,
                         )
+                        if wi["format"] == "vp8-lossless":
+                            from docvision_spark.kernel.vp8l_codec import \
+                                webp_decode
+                            rgb = webp_decode(payload)
+                            mean_l, std_l = luma_stats(rgb)
+                            row.update(mean_luma=mean_l, std_luma=std_l,
+                                       ahash=ahash64(rgb), dhash=dhash64(rgb))
                     else:
                         rgb, fmt = decode_image(payload)
                         mean_l, std_l = luma_stats(rgb)
@@ -409,11 +421,20 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                         mid, duration_s=1.0 + (mid % 7) / 2,
                         width=320 + 16 * (mid % 5), height=180 + 12 * (mid % 3))
                 elif mid % 23 == 5:
-                    from docvision_spark.kernel.image_codec import \
-                        encode_webp_stub
-                    kind, payload = "image", encode_webp_stub(
-                        mid, width=64 + 8 * (mid % 6),
-                        height=48 + 4 * (mid % 5), lossless=bool(mid % 2))
+                    kind = "image"
+                    if mid % 2:
+                        # REAL lossless WebP (VP8L pixels decode; rows get
+                        # full luma/aHash/dHash and join m02 near-dup)
+                        payload = make_synthetic_image(
+                            mid, 64 + 8 * (mid % 6), 48 + 4 * (mid % 5),
+                            fmt="webp")
+                    else:
+                        # lossy VP8 stays a header-only declared partial
+                        from docvision_spark.kernel.image_codec import \
+                            encode_webp_stub
+                        payload = encode_webp_stub(
+                            mid, width=64 + 8 * (mid % 6),
+                            height=48 + 4 * (mid % 5), lossless=False)
                 else:
                     kind = "image"
                     seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)

@@ -302,15 +302,18 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         from docvision_spark.kernel.tiff_codec import decode_tiff
         return decode_tiff(data), "tiff"
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from docvision_spark.kernel.vp8l_codec import webp_decode
+        return webp_decode(data), "webp"
     raise ImageDecodeError("unknown image format")
 
 
 # ----------------------------------------------------------------- WebP ----
-# Container METADATA only (RIFF chunk walk per the public WebP spec):
-# dimensions from VP8X canvas / VP8 keyframe header / VP8L stream header,
-# alpha + animation flags. The VP8/VP8L bitstreams themselves (boolean
-# arithmetic coding / prefix-coded transforms) are NOT decoded — webp rows
-# carry real dims/format but NULL pixel features, a declared partial like
+# Container metadata (RIFF chunk walk per the public WebP spec): dimensions
+# from VP8X canvas / VP8 keyframe header / VP8L stream header, alpha +
+# animation flags. VP8L (lossless) PIXELS decode via kernel/vp8l_codec
+# (from-scratch prefix-code/transform decoder); the lossy VP8 bitstream
+# (boolean arithmetic coding) remains a declared header-only partial like
 # the MP3/MP4 header walks in av_codec.
 
 

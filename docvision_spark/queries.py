@@ -823,7 +823,7 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 9  # rev 9: WebP rows (container metadata) in the mix
+_MCACHE_REV = 10  # rev 10: lossless-WebP rows pixel-decode (VP8L)
 
 
 def _media_features(spark: SparkSession, sf: str):
