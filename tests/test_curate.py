@@ -175,3 +175,58 @@ def test_curate_robots_and_canonical_stage(tmp_path):
     assert "https://ex.com/f" in urls and "https://ex.com/g" in urls
     assert "https://ex.com/b" not in urls and "https://ex.com/c" not in urls
     assert "https://ex.com/h" not in urls
+
+@pytest.mark.slow
+def test_curate_sf01_scale_stage_counts(tmp_path):
+    """Round-4 verdict #7: the 7-stage pipeline end-to-end on the REAL
+    20k-page sf0.1 corpus (not planted fixtures), asserting the report's
+    stage counts are deterministic and monotone. Counts are pinned as
+    INVARIANTS (monotone funnel, nonzero attrition at the stages the
+    corpus is known to exercise) rather than exact numbers, so a corpus
+    version bump shifts volumes without rewriting the test; determinism
+    is asserted by structure (the corpus and kernel are both seeded)."""
+    from docvision_spark.corpus import ensure_corpus
+
+    pages_dir = ensure_corpus(os.path.join(REPO, "data", "pages_sf0.1"), 20000)
+    out_dir = str(tmp_path / "curated")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", pages_dir, "--output", out_dir, "--cores", "8"],
+        capture_output=True, text=True, timeout=1800, cwd=REPO)
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    with open(os.path.join(out_dir, "report.json")) as f:
+        rep = json.load(f)
+    # monotone funnel
+    assert rep["input_pages"] == 20000
+    assert (rep["input_pages"] >= rep["after_url_dedup"]
+            >= rep["extracted"] - rep["extract_errors"] >= rep["after_robots"]
+            >= rep["after_canonical"] >= rep["quality_pass"]
+            >= rep["after_exact_dedup"] >= rep["after_near_dedup"] > 0)
+    # attrition classes the raw sf0.1 corpus actually exercises: typed
+    # extraction errors, robots-noindex, quality, boilerplate templates.
+    # (Raw-corpus urls are unique and pages content-distinct, so the three
+    # dedup stages pass through 1:1 here — their drop behavior is covered
+    # by the planted-fixture e2e tests above.)
+    assert rep["extract_errors"] > 0
+    assert rep["after_robots"] < rep["extracted"] - rep["extract_errors"]
+    assert rep["quality_pass"] < rep["after_canonical"]
+    assert rep["boiler_lines_stripped"] > 0
+    assert rep["after_url_dedup"] == rep["input_pages"]
+    assert rep["after_exact_dedup"] == rep["quality_pass"]
+    assert rep["after_near_dedup"] == rep["after_exact_dedup"]
+    from docvision_spark.corpus import CORPUS_VERSION
+    if CORPUS_VERSION == 8:
+        # exact deterministic counts for this corpus version (seeded corpus
+        # + seeded kernel -> the whole report is reproducible bit-for-bit);
+        # on a version bump the invariants above still gate while these pins
+        # get re-derived
+        assert rep["extract_errors"] == 71
+        assert rep["after_robots"] == 19411
+        assert rep["quality_pass"] == 19384
+        assert rep["boiler_lines_stripped"] == 4454
+    # curated output is readable and consistent with the report
+    import duckdb
+    n = duckdb.sql(
+        f"select count(*) from read_parquet('{out_dir}/data/*.parquet')"
+    ).fetchone()[0]
+    assert n == rep["after_near_dedup"]

@@ -450,6 +450,28 @@ def test_multimodal_plumbing(spark):
 
 
 @pytest.mark.spark
+def test_multimodal_webp_lossless_vs_lossy(spark):
+    """Lossless WebP rows pixel-decode (real luma/hashes -> they join m02
+    near-dup); lossy VP8 rows keep real dims but NULL pixel features (the
+    declared header-only partial)."""
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features, make_synthetic_image)
+    from docvision_spark.kernel.image_codec import encode_webp_stub
+
+    rows = [
+        (1, "image", make_synthetic_image(1, 72, 48, fmt="webp")),
+        (2, "image", encode_webp_stub(2, width=72, height=48, lossless=False)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert out[1]["format"] == "vp8-lossless" and out[1]["error"] is None
+    assert out[1]["dhash"] is not None and out[1]["ahash"] is not None
+    assert out[1]["mean_luma"] is not None
+    assert out[2]["format"] == "vp8-lossy" and out[2]["width"] == 72
+    assert out[2]["dhash"] is None and out[2]["error"] is None
+
+
+@pytest.mark.spark
 def test_canonical_url_and_dedup(spark):
     """RFC-3986-subset canonicalization: scheme/host case, default ports,
     fragments, tracking params, duplicate/trailing slashes — variants of the
