@@ -63,21 +63,26 @@ def _lzw_decode(data: bytes, cap: int, early: bool = True) -> bytes:
     /EarlyChange 0, ISO 32000-1 §7.4.4.3); pdf_text reuses this decoder for
     PDF LZW streams, whose bit/table layout is identical to TIFF's."""
     out = bytearray()
-    arr = np.frombuffer(data, dtype=np.uint8)
-    nbits = arr.shape[0] * 8
-    bitpos = 0
+    n_in = len(data)
     width = 9
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     prev: bytes | None = None
+    # MSB-first rolling accumulator: O(1) per code (no per-bit loop, no
+    # whole-stream bigint shifts — PDF /LZWDecode shares this decoder, so
+    # multi-KB content streams hit it on the extraction hot path)
+    pos = acc = accbits = 0
 
     def read_code() -> int:
-        nonlocal bitpos
-        if bitpos + width > nbits:
-            return 257
-        val = 0
-        for _ in range(width):
-            val = (val << 1) | ((arr[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
-            bitpos += 1
+        nonlocal pos, acc, accbits
+        while accbits < width:
+            if pos >= n_in:
+                return 257
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            accbits += 8
+        accbits -= width
+        val = (acc >> accbits) & ((1 << width) - 1)
+        acc &= (1 << accbits) - 1
         return val
 
     while len(out) < cap:
