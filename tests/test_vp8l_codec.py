@@ -267,3 +267,18 @@ def test_canonical_code_helpers_agree():
     assert len(codes) == 5
     # kraft completeness
     assert sum(2 ** -(L) for _c, L in codes.values()) == 1.0
+
+
+def test_plane_table_head_matches_spec():
+    """The first entries of the distance-plane table as published in the
+    WebP lossless spec's dist_map listing — pins the table-generation rule
+    to the spec text (the tail shares the same ordering rule; encoder
+    round-trips never depend on the table, see module docstring)."""
+    from docvision_spark.kernel.vp8l_codec import _PLANE
+    assert len(_PLANE) == 120
+    assert _PLANE[:12] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                           (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2)]
+    # every entry decodes to a positive distance for any width >= 9
+    from docvision_spark.kernel.vp8l_codec import _plane_to_distance
+    assert all(_plane_to_distance(c, 9) >= 1 for c in range(1, 121))
+    assert _plane_to_distance(121, 9) == 1  # raw-distance escape
