@@ -282,3 +282,39 @@ def test_plane_table_head_matches_spec():
     from docvision_spark.kernel.vp8l_codec import _plane_to_distance
     assert all(_plane_to_distance(c, 9) >= 1 for c in range(1, 121))
     assert _plane_to_distance(121, 9) == 1  # raw-distance escape
+
+
+def test_crafted_meta_prefix_groups():
+    """8x1 image with meta_bits=2 (4-pixel tiles): two prefix groups, one
+    per tile, each a different constant color — exercises the meta prefix
+    image path (group index = (red<<8)|green of the meta pixel)."""
+    w, h = 8, 1
+    bw = _BitWriter()
+    bw.write(0, 1)              # no transforms
+    bw.write(0, 1)              # no color cache
+    bw.write(1, 1)              # meta prefix present
+    bw.write(0, 3)              # meta_bits = 0 + 2 = 2 -> 4px tiles
+    # meta image: 2x1 entropy-coded image; green channel = group index
+    bw.write(0, 1)              # meta sub-image: no cache
+    mg = _write_simple_code(bw, [0, 1])   # greens 0 and 1
+    _write_simple_code(bw, [0])           # red
+    _write_simple_code(bw, [0])           # blue
+    _write_simple_code(bw, [0])           # alpha
+    _write_simple_code(bw, [0])           # distance
+    for gidx in (0, 1):                   # tile 0 -> group 0, tile 1 -> 1
+        c, L = mg[gidx]
+        bw.write_code_msb(c, L)
+    # two groups, 5 codes each; constant colors (10,20,30) and (40,50,60)
+    groups = []
+    for r, g, b in ((10, 20, 30), (40, 50, 60)):
+        gc = _write_simple_code(bw, [g])
+        rc = _write_simple_code(bw, [r])
+        bc = _write_simple_code(bw, [b])
+        ac = _write_simple_code(bw, [255])
+        _write_simple_code(bw, [0])
+        groups.append((gc, rc, bc, ac))
+    # body: all codes are zero-bit singles -> nothing to write per pixel
+    out = vp8l_decode(_wrap(bw, w, h))
+    assert out.shape == (1, 8, 4)
+    assert [tuple(px) for px in out[0, :4, :3]] == [(10, 20, 30)] * 4
+    assert [tuple(px) for px in out[0, 4:, :3]] == [(40, 50, 60)] * 4
