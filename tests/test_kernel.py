@@ -526,3 +526,24 @@ def test_pdf_unsupported_filter_typed_error():
     good = make_pdf(flate_url, random.Random(seed), "en")
     r2 = extract(flate_url, good)
     assert r2.error is None and r2.text
+
+
+def test_entities_full_whatwg_table():
+    """Round 4: the COMPLETE frozen WHATWG snapshot — rare names decode,
+    multi-codepoint replacements work, HTML5 codepoint corrections applied
+    (lang/rang are U+27E8/U+27E9, not the HTML4 U+2329/232A), and the
+    whitespace-normalization overrides stay in force."""
+    from docvision_spark.kernel.entities import ENTITIES, _LEGACY
+
+    assert len(ENTITIES) == 2125 and len(_LEGACY) == 106
+    assert decode_entities("&CounterClockwiseContourIntegral;") == "∳"
+    assert decode_entities("&NotEqualTilde;") == "≂̸"  # multi-codepoint
+    assert decode_entities("&lang;x&rang;") == "⟨x⟩"
+    assert decode_entities("&nvlArr;&bnequiv;") == "⤂≡⃥"
+    # overrides: training-text whitespace normalization beats the raw table
+    assert decode_entities("a&nbsp;b") == "a b"
+    assert decode_entities("a&shy;b") == "ab"
+    assert decode_entities("a&thinsp;b&ensp;c&emsp;d") == "a b c d"
+    # post-legacy names still REQUIRE the semicolon
+    assert decode_entities("&CounterClockwiseContourIntegral") == \
+        "&CounterClockwiseContourIntegral"
