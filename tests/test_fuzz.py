@@ -103,7 +103,7 @@ def test_decode_image_total_on_garbage(data):
     try:
         rgb, fmt = decode_image(data)
         assert rgb.ndim == 3 and rgb.shape[2] == 3
-        assert fmt in ("png", "bmp", "pnm", "gif", "jpeg")
+        assert fmt in ("png", "bmp", "pnm", "gif", "jpeg", "tiff", "webp")
     except ImageDecodeError:
         pass
 
@@ -111,7 +111,8 @@ def test_decode_image_total_on_garbage(data):
 @settings(max_examples=100, deadline=None)
 @given(data=st.binary(max_size=512), prefix=st.sampled_from(
     [b"\x89PNG\r\n\x1a\n", b"BM", b"P6 ", b"P5\n", b"GIF89a", b"GIF87a",
-     b"\xFF\xD8\xFF\xE0", b"\xFF\xD8\xFF\xDB"]))
+     b"\xFF\xD8\xFF\xE0", b"\xFF\xD8\xFF\xDB", b"II*\x00", b"MM\x00*",
+     b"RIFF\x80\x00\x00\x00WEBPVP8L"]))
 def test_decode_image_total_on_magic_prefixed_garbage(data, prefix):
     """Same totality with valid magic bytes followed by garbage — the parser
     paths themselves must fail cleanly, not just the dispatcher."""
@@ -119,5 +120,65 @@ def test_decode_image_total_on_magic_prefixed_garbage(data, prefix):
 
     try:
         decode_image(prefix + data)
+    except ImageDecodeError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(max_size=400),
+       filt=st.sampled_from(["/FlateDecode", "/LZWDecode", "/ASCIIHexDecode",
+                             "/ASCII85Decode", "/RunLengthDecode",
+                             "[/ASCII85Decode /FlateDecode]",
+                             "/FlateDecode /DecodeParms << /Predictor 12 "
+                             "/Columns 8 >>"]))
+def test_pdf_filter_decode_total(data, filt):
+    """Every supported /Filter decode path is total on corrupt stream data:
+    b'' degrade or PdfUnsupportedFilterError, never a hang or a foreign
+    exception (round-4 filter chains)."""
+    from docvision_spark.kernel import pdf_text
+
+    body = (f"<< /Filter {filt} /Length {len(data)} >>\nstream\n".encode()
+            + data + b"\nendstream")
+    out = pdf_text._load_stream(body)
+    assert isinstance(out, bytes)
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(max_size=600))
+def test_vp8l_decode_total_on_garbage(data):
+    """vp8l_decode is total on arbitrary bytes after the signature: valid
+    array or ImageDecodeError, nothing else, no hangs."""
+    from docvision_spark.kernel.image_codec import ImageDecodeError
+    from docvision_spark.kernel.vp8l_codec import vp8l_decode
+
+    try:
+        out = vp8l_decode(bytes([0x2F]) + data)
+        assert out.ndim == 3 and out.shape[2] == 4
+    except ImageDecodeError:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(flips=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1,
+                      max_size=6), seed=st.integers(min_value=0, max_value=5))
+def test_vp8l_bitflip_total(flips, seed):
+    """Bit-flipped VALID VP8L streams (past the 5-byte header) decode to
+    some image or raise ImageDecodeError — the prefix-code/transform state
+    machines never escape their bounds."""
+    import numpy as np
+
+    from docvision_spark.kernel.image_codec import ImageDecodeError
+    from docvision_spark.kernel.vp8l_codec import vp8l_encode
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(16, 21, 3), dtype=np.uint8)
+    enc = bytearray(vp8l_encode(img))
+    for f in flips:
+        i = 25 + (f % max(1, len(enc) - 26))
+        enc[i] ^= 1 << (f % 8)
+    from docvision_spark.kernel.vp8l_codec import webp_decode
+    try:
+        out = webp_decode(bytes(enc))
+        assert out.ndim == 3
     except ImageDecodeError:
         pass
