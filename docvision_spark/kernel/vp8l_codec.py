@@ -327,14 +327,17 @@ def _decode_entropy_image(br: _BitReader, w: int, h: int,
     out = np.zeros(n_px, dtype=np.uint32)
     pos = 0
     g_code, r_code, b_code, a_code, d_code = groups[0]
-    cur_meta_row = -1
+    cur_tile = (-1, -1)
     while pos < n_px:
         if meta is not None:
             x, y = pos % xsize, pos // xsize
-            my = y >> meta_bits
-            if my != cur_meta_row or (x & ((1 << meta_bits) - 1)) == 0:
-                cur_meta_row = my
-                gidx = int(meta[my, x >> meta_bits])
+            # recompute on TILE change, not tile-boundary pixels only: a
+            # backref can land pos mid-tile, where the boundary check
+            # would silently keep the previous tile's prefix group
+            tile = (y >> meta_bits, x >> meta_bits)
+            if tile != cur_tile:
+                cur_tile = tile
+                gidx = int(meta[tile[0], tile[1]])
                 g_code, r_code, b_code, a_code, d_code = groups[gidx]
         s = g_code.decode(br)
         if s < 256:
@@ -564,7 +567,9 @@ def _complete_lengths(symbols: list[int], alphabet: int) -> list[int]:
 
 def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> dict:
     present = [s for s, L in enumerate(lengths) if L]
-    if len(present) <= 2:
+    # the simple form stores symbols in 8-bit fields — length/cache green
+    # symbols (>=256) need the normal code-length-coded form
+    if len(present) <= 2 and all(s <= 255 for s in present):
         bw.write(1, 1)                      # simple
         bw.write(len(present) - 1, 1)
         bw.write(1, 1)                      # first symbol in 8 bits

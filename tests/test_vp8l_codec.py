@@ -318,3 +318,54 @@ def test_crafted_meta_prefix_groups():
     assert out.shape == (1, 8, 4)
     assert [tuple(px) for px in out[0, :4, :3]] == [(10, 20, 30)] * 4
     assert [tuple(px) for px in out[0, 4:, :3]] == [(40, 50, 60)] * 4
+
+
+def test_crafted_meta_prefix_backref_lands_mid_tile():
+    """Regression for the mid-tile group bug: a backref that jumps pos into
+    the MIDDLE of a different meta tile must decode the following literal
+    with the NEW tile's prefix group (a boundary-only recompute keeps the
+    stale group)."""
+    w, h = 8, 1
+    bw = _BitWriter()
+    bw.write(0, 1)              # no transforms
+    bw.write(0, 1)              # no cache
+    bw.write(1, 1)              # meta prefix
+    bw.write(0, 3)              # meta_bits 2 -> tiles of 4 px
+    bw.write(0, 1)              # meta sub: no cache
+    mg = _write_simple_code(bw, [0, 1])
+    _write_simple_code(bw, [0])
+    _write_simple_code(bw, [0])
+    _write_simple_code(bw, [0])
+    _write_simple_code(bw, [0])
+    for gidx in (0, 1):
+        c, L = mg[gidx]
+        bw.write_code_msb(c, L)
+    # group 0: green symbols {7 literal, 260 (length code 4 -> 5..6)} —
+    # 260 exceeds the simple-code 8-bit symbol field, so a normal code
+    from docvision_spark.kernel.vp8l_codec import _write_prefix_code
+    g0 = _write_prefix_code(bw, _complete_lengths([7, 260], 280))
+    _write_simple_code(bw, [70])    # red
+    _write_simple_code(bw, [77])    # blue
+    _write_simple_code(bw, [255])   # alpha
+    d0 = _write_simple_code(bw, [13])  # distance: plane 121 -> dist 1
+    # group 1: single literal (9/90/99)
+    g1 = _write_simple_code(bw, [9])
+    _write_simple_code(bw, [90])
+    _write_simple_code(bw, [99])
+    _write_simple_code(bw, [255])
+    _write_simple_code(bw, [0])
+    assert d0[13] == (0, 0) and g1[9] == (0, 0)
+    # body: x0 literal(7) [group 0]; then backref length 6 dist 1 -> fills
+    # x1..x6, ENDING MID-TILE-1; then one literal decoded at x7 — must use
+    # group 1's codes (all zero-bit), NOT group 0's
+    c, L = g0[7]
+    bw.write_code_msb(c, L)
+    c, L = g0[260]
+    bw.write_code_msb(c, L)
+    bw.write(1, 1)              # length extra bit: (2+0)<<1 + 1 + 1 = 6
+    bw.write(24, 5)             # distance extras -> plane 121 -> dist 1
+    # x7 literal: group 1 codes are all zero-bit — no bits needed
+    out = vp8l_decode(_wrap(bw, w, h))
+    assert [tuple(px) for px in out[0, :7, :3]] == [(70, 7, 77)] * 7
+    assert tuple(out[0, 7, :3]) == (90, 9, 99), \
+        "literal after mid-tile backref used the stale prefix group"
