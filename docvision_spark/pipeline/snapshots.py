@@ -165,3 +165,130 @@ def read_table(spark: SparkSession, table_dir: str,
     return spark.read.option("basePath", data_dir).parquet(
         *[os.path.join(data_dir, rel) for rel in m["files"]]
     )
+
+
+def commit_replace(table_dir: str, staging: str, data_dir: str,
+                   replaced: list[str]) -> str:
+    """Publish a REPLACE snapshot: staged files swap in for `replaced`
+    (relative paths from the current manifest); every other file carries
+    over. Row count is unchanged by construction — this is the commit
+    primitive for compaction (Iceberg rewrite_data_files analogue). The
+    replaced files stay on disk: older snapshots still reference them for
+    time travel until expire_snapshots() reclaims them."""
+    prev = read_manifest(table_dir)
+    if prev is None:
+        raise ValueError("commit_replace on a table with no snapshot")
+    missing = set(replaced) - set(prev["files"])
+    if missing:
+        raise ValueError(f"replace of files not in current snapshot: {missing}")
+    snapshot_id = uuid.uuid4().hex[:16]
+    moved: list[str] = []
+    for rel in _collect_files(staging):
+        d, fn = os.path.split(rel)
+        dst_rel = os.path.join(d, f"{snapshot_id}-{fn}")
+        dst = os.path.join(data_dir, dst_rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.move(os.path.join(staging, rel), dst)
+        moved.append(dst_rel)
+    shutil.rmtree(staging, ignore_errors=True)
+    kept = [f for f in prev["files"] if f not in set(replaced)]
+    manifest = {
+        "snapshot_id": snapshot_id,
+        "parent_id": prev["snapshot_id"],
+        "sequence": prev["sequence"] + 1,
+        "committed_at": time.time(),
+        "row_count_delta": 0,
+        "operation": "replace",
+        "replaced_files": sorted(replaced),
+        "files": kept + moved,
+    }
+    _write_json_atomic(_manifest_path(table_dir), manifest)
+    log_dir = os.path.join(table_dir, "snapshots")
+    os.makedirs(log_dir, exist_ok=True)
+    _write_json_atomic(
+        os.path.join(log_dir, f"{manifest['sequence']:06d}-{snapshot_id}.json"),
+        manifest)
+    return snapshot_id
+
+
+def compact(spark: SparkSession, table_dir: str,
+            target_mb: int = 256, min_files: int = 2) -> dict:
+    """Small-file compaction (Iceberg rewrite_data_files analogue).
+
+    Append-only snapshot tables accrete one file per task per commit; at
+    10^12-doc scale a daily incremental run turns the table into millions
+    of KB-sized files and every downstream scan pays the open/footer cost.
+    Per partition directory (bucket=N), all files smaller than target_mb
+    are rewritten into ceil(total_bytes / target_mb) files and swapped in
+    via ONE atomic replace snapshot. Files >= target_mb are left alone
+    (rewriting them buys nothing). Returns a report dict.
+
+    Scale shape: each partition compacts independently from a column-
+    complete scan of only its small files — no shuffle (coalesce, not
+    repartition), no driver-side row movement; the driver only lists
+    file metadata."""
+    m = read_manifest(table_dir)
+    if m is None or not m["files"]:
+        return {"compacted_partitions": 0, "files_before": 0, "files_after": 0}
+    data_dir = os.path.join(table_dir, "data")
+    target = target_mb * 1024 * 1024
+    by_dir: dict[str, list[str]] = {}
+    for rel in m["files"]:
+        d = os.path.dirname(rel)
+        if os.path.getsize(os.path.join(data_dir, rel)) < target:
+            by_dir.setdefault(d, []).append(rel)
+    staging = new_staging(table_dir)
+    replaced: list[str] = []
+    n_parts = 0
+    for d, rels in sorted(by_dir.items()):
+        if len(rels) < min_files:
+            continue
+        total = sum(os.path.getsize(os.path.join(data_dir, r)) for r in rels)
+        n_out = max(1, (total + target - 1) // target)
+        df = spark.read.option("basePath", data_dir).parquet(
+            *[os.path.join(data_dir, r) for r in rels])
+        out_dir = os.path.join(staging, d) if d else staging
+        df.coalesce(int(n_out)).write.mode("overwrite").parquet(out_dir)
+        replaced.extend(rels)
+        n_parts += 1
+    if not replaced:
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"compacted_partitions": 0,
+                "files_before": len(m["files"]),
+                "files_after": len(m["files"])}
+    sid = commit_replace(table_dir, staging, data_dir, replaced)
+    after = read_manifest(table_dir)
+    return {"snapshot_id": sid, "compacted_partitions": n_parts,
+            "files_before": len(m["files"]),
+            "files_after": len(after["files"])}
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 3) -> dict:
+    """Retire history older than the last `keep_last` snapshots and delete
+    data files no retained snapshot references (Iceberg expire_snapshots
+    analogue — the GC half of the compaction pair). The CURRENT snapshot
+    is always retained. Time travel to an expired snapshot raises KeyError
+    afterward, exactly like Iceberg."""
+    log = snapshot_log(table_dir)
+    if len(log) <= keep_last:
+        return {"expired": 0, "deleted_files": 0}
+    retained, expired = log[-keep_last:], log[:-keep_last]
+    live = {f for s in retained for f in s["files"]}
+    data_dir = os.path.join(table_dir, "data")
+    deleted = 0
+    for s in expired:
+        for rel in s["files"]:
+            if rel not in live:
+                try:
+                    os.remove(os.path.join(data_dir, rel))
+                    deleted += 1
+                except FileNotFoundError:
+                    pass
+        # remove the history entry so the log and the data agree
+        p = os.path.join(table_dir, "snapshots",
+                         f"{s['sequence']:06d}-{s['snapshot_id']}.json")
+        try:
+            os.remove(p)
+        except FileNotFoundError:
+            pass
+    return {"expired": len(expired), "deleted_files": deleted}

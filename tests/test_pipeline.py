@@ -145,3 +145,88 @@ def test_torn_history_file_tolerated(tmp_path):
     # and the healed write replaced the torn file atomically
     assert json.load(open(os.path.join(log_dir, "000001-def.json")))[
         "snapshot_id"] == "def"
+
+
+@pytest.mark.spark
+def test_compact_preserves_table_and_time_travel(spark, pages_dir, tmp_path):
+    """Compaction (rewrite_data_files analogue): two append snapshots of
+    many small files -> one replace snapshot with fewer files; rows, url
+    set, and schema are bit-identical; the pre-compaction snapshot still
+    time-travels; resume still sees everything committed."""
+    from docvision_spark.corpus import gen_urls
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.extract_job import read_pages, run_extract_job
+
+    out_dir = str(tmp_path / "out_compact")
+    half = set(gen_urls(300)[:150])
+    pages = read_pages(spark, pages_dir)
+    half_df = spark.createDataFrame([(u,) for u in half], "url string")
+    half_path = str(tmp_path / "half_pages_c")
+    pages.join(F.broadcast(half_df), "url", "left_semi").write.parquet(half_path)
+    run_extract_job(spark, half_path, out_dir, partitions=4)
+    run_extract_job(spark, pages_dir, out_dir, partitions=4)
+
+    before = snapshots.read_manifest(out_dir)
+    pre_rows = {r["url"]: r["id"] for r in
+                snapshots.read_table(spark, out_dir).select("url", "id").collect()}
+    assert len(before["files"]) > 4  # two commits x multiple buckets
+
+    rep = snapshots.compact(spark, out_dir, target_mb=256)
+    assert rep["compacted_partitions"] > 0
+    assert rep["files_after"] < rep["files_before"]
+
+    after = snapshots.read_manifest(out_dir)
+    assert after["operation"] == "replace" and after["row_count_delta"] == 0
+    post = {r["url"]: r["id"] for r in
+            snapshots.read_table(spark, out_dir).select("url", "id").collect()}
+    assert post == pre_rows, "compaction must be row-for-row identical"
+
+    # time travel to the pre-compaction snapshot still reads the old files
+    tt = snapshots.read_table(spark, out_dir, as_of=before["snapshot_id"])
+    assert tt.count() == 300
+
+    # resume after compaction: nothing to do (committed urls unchanged)
+    s = run_extract_job(spark, pages_dir, out_dir, partitions=4)
+    assert s["docs"] == 0
+
+    # idempotent: a second compact finds nothing worth rewriting beyond
+    # per-partition singletons
+    rep2 = snapshots.compact(spark, out_dir, target_mb=256)
+    assert rep2["compacted_partitions"] == 0
+
+
+@pytest.mark.spark
+def test_expire_snapshots_gc(spark, pages_dir, tmp_path):
+    """expire_snapshots: retired snapshots' exclusive files are deleted,
+    the current snapshot still reads, expired ids no longer time-travel."""
+    import os
+
+    from docvision_spark.corpus import gen_urls
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.extract_job import read_pages, run_extract_job
+
+    out_dir = str(tmp_path / "out_expire")
+    half = set(gen_urls(300)[:150])
+    pages = read_pages(spark, pages_dir)
+    half_df = spark.createDataFrame([(u,) for u in half], "url string")
+    half_path = str(tmp_path / "half_pages_e")
+    pages.join(F.broadcast(half_df), "url", "left_semi").write.parquet(half_path)
+    run_extract_job(spark, half_path, out_dir, partitions=4)
+    run_extract_job(spark, pages_dir, out_dir, partitions=4)
+    snapshots.compact(spark, out_dir, target_mb=256)
+    old_id = snapshots.snapshot_log(out_dir)[0]["snapshot_id"]
+
+    rep = snapshots.expire_snapshots(out_dir, keep_last=1)
+    assert rep["expired"] == 2 and rep["deleted_files"] > 0
+    # current read intact
+    assert snapshots.read_table(spark, out_dir).count() == 300
+    # expired snapshot is gone from history -> KeyError, like Iceberg
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        snapshots.read_table(spark, out_dir, as_of=old_id)
+    # no orphan parquet files left outside the manifest
+    data_dir = os.path.join(out_dir, "data")
+    on_disk = {os.path.relpath(os.path.join(dp, f), data_dir)
+               for dp, _d, fs in os.walk(data_dir) for f in fs
+               if f.endswith(".parquet")}
+    assert on_disk == set(snapshots.read_manifest(out_dir)["files"])
