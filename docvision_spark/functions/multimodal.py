@@ -57,7 +57,8 @@ FEATURE_SCHEMA = StructType([
     StructField("std_luma", DoubleType()),
     StructField("ahash", LongType()),
     StructField("dhash", LongType()),
-    StructField("rms", DoubleType()),         # audio
+    StructField("rms", DoubleType()),         # audio (PCM only)
+    StructField("gain", DoubleType()),        # mp3 side-info global_gain mean
     StructField("motion", DoubleType()),      # video inter-frame luma delta
     StructField("sample_rate", IntegerType()),
     StructField("feature_hash", StringType()),
@@ -198,7 +199,8 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                        "bytes_in": len(payload) if payload is not None else 0,
                        "mean_luma": None, "std_luma": None,
                        "ahash": None, "dhash": None,
-                       "rms": None, "motion": None, "sample_rate": None,
+                       "rms": None, "gain": None, "motion": None,
+                       "sample_rate": None,
                        "feature_hash": None, "error": None}
                 try:
                     payload = bytes(payload) if payload is not None else b""
@@ -224,16 +226,19 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             len(payload) > 2 and payload[0] == 0xFF
                             and (payload[1] & 0xE0) == 0xE0):
                         # MP3: REAL frame-header walk (count/duration/
-                        # bitrate metadata); the coded audio itself is not
-                        # decoded, so rms stays NULL — declared partial
-                        from docvision_spark.kernel.av_codec import \
-                            mp3_stream_info
+                        # bitrate metadata) + side-info global_gain mean
+                        # (fixed-layout bits, a real decoded loudness
+                        # proxy); the coded audio samples are not decoded,
+                        # so rms stays NULL — declared partial
+                        from docvision_spark.kernel.av_codec import (
+                            mp3_mean_global_gain, mp3_stream_info)
                         info = mp3_stream_info(payload)
                         row.update(
                             kind="audio", format="mp3",
                             n_frames=info["n_frames"],
                             duration_s=info["duration_s"],
                             sample_rate=info["sample_rate"],
+                            gain=mp3_mean_global_gain(payload),
                         )
                     elif payload[4:8] == b"ftyp":
                         # MP4/ISO-BMFF: REAL box-walk metadata (duration,

@@ -286,6 +286,73 @@ def mp3_stream_info(data: bytes) -> dict:
     }
 
 
+def mp3_mean_global_gain(data: bytes) -> float | None:
+    """Mean Layer III `global_gain` across all granules/channels of every
+    MPEG-1 frame — a REAL decoded loudness proxy from the side-info bits
+    (ISO 11172-3 §2.4.1.7), which have a fixed layout and need no Huffman
+    tables. The coded audio samples themselves remain undecoded (`rms`
+    stays NULL) — that would need the spec's Huffman/requantization
+    tables, which cannot be faithfully reproduced offline.
+
+    Layout self-check: 9 + 5/3 private + 4*nch scfsi + 59*2*nch == the
+    spec's 17-byte (mono) / 32-byte (stereo) side-info sizes exactly.
+    Returns None when no MPEG-1 Layer III frame parses."""
+    pos = _id3v2_size(data)
+    n = len(data)
+    gains: list[int] = []
+    junk_budget = 4096
+    while pos + 4 <= n:
+        if not (data[pos] == 0xFF and (data[pos + 1] & 0xE0) == 0xE0):
+            pos += 1
+            junk_budget -= 1
+            if junk_budget <= 0:
+                break
+            continue
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        ver_bits = (b1 >> 3) & 0x3
+        layer_bits = (b1 >> 1) & 0x3
+        protected = (b1 & 1) == 0
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if (ver_bits != 3 or layer_bits != 1 or br_idx in (0, 15)
+                or sr_idx == 3):
+            pos += 1
+            junk_budget -= 1
+            if junk_budget <= 0:
+                break
+            continue
+        kbps = _MP3_BITRATE[("v1", 3)][br_idx]
+        rate = _MP3_RATE[3][sr_idx]
+        flen = 1152 // 8 * kbps * 1000 // rate + padding
+        nch = 1 if ((b3 >> 6) & 0x3) == 3 else 2
+        si_start = pos + 4 + (2 if protected else 0)
+        si_len = 17 if nch == 1 else 32
+        si = data[si_start:si_start + si_len]
+        if len(si) == si_len:
+            acc = int.from_bytes(si, "big")
+            nbits = si_len * 8
+            bit = 9 + (5 if nch == 1 else 3) + 4 * nch  # skip to granule 0
+
+            def take(width: int) -> int:
+                nonlocal bit
+                v = (acc >> (nbits - bit - width)) & ((1 << width) - 1)
+                bit += width
+                return v
+
+            for _gr in range(2):
+                for _ch in range(nch):
+                    take(12)            # part2_3_length
+                    take(9)             # big_values
+                    gains.append(take(8))   # global_gain
+                    take(59 - 12 - 9 - 8)   # rest of this gr/ch block
+        junk_budget = 4096
+        pos += max(flen, 4)
+    if not gains:
+        return None
+    return round(sum(gains) / len(gains), 3)
+
+
 def encode_mp3_stub(seed: int, n_frames: int = 20, bitrate_kbps: int = 128,
                     rate: int = 44100) -> bytes:
     """Deterministic MPEG-1 Layer III stream with VALID frame headers and
@@ -307,13 +374,28 @@ def encode_mp3_stub(seed: int, n_frames: int = 20, bitrate_kbps: int = 128,
             0xFF,
             0xE0 | (3 << 3) | (1 << 1) | 1,          # MPEG-1, Layer III, no CRC
             (br_idx << 4) | (sr_idx << 2) | (padding << 1),
-            0b11000100,                              # joint stereo, no emphasis
+            0b11000100,                              # single-channel, no emphasis
         ])
         flen = 1152 // 8 * bitrate_kbps * 1000 // rate + padding
-        body = rng.integers(0, 256, size=flen - 4, dtype=np.uint8)
+        # REAL 17-byte mono side info with seeded global_gain per granule
+        # (all other fields zero): the one side-info field the metadata
+        # walk decodes; the main data stays non-decodable noise
+        g0, g1 = int(rng.integers(80, 220)), int(rng.integers(80, 220))
+        si = 0
+        bits = 0
+        for width, val in ((9, 0), (5, 0), (4, 0),
+                           (12, 0), (9, 0), (8, g0), (4, 0), (1, 0),
+                           (15, 0), (4, 0), (3, 0), (1, 0), (1, 0), (1, 0),
+                           (12, 0), (9, 0), (8, g1), (4, 0), (1, 0),
+                           (15, 0), (4, 0), (3, 0), (1, 0), (1, 0), (1, 0)):
+            si = (si << width) | val
+            bits += width
+        assert bits == 136
+        side = si.to_bytes(17, "big")
+        body = rng.integers(0, 256, size=flen - 4 - 17, dtype=np.uint8)
         # keep payload free of false sync bytes so the header walk is exact
         body[body == 0xFF] = 0x7F
-        out += hdr + body.tobytes()
+        out += hdr + side + body.tobytes()
     return bytes(out)
 
 

@@ -823,7 +823,7 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 10  # rev 10: lossless-WebP rows pixel-decode (VP8L)
+_MCACHE_REV = 11  # rev 11: mp3 side-info `gain` column joins the features
 
 
 def _media_features(spark: SparkSession, sf: str):
@@ -896,6 +896,7 @@ def m03_av_features(spark: SparkSession, sf: str) -> DataFrame:
                   F.coalesce(F.min("duration_s"), F.lit(-1.0)).alias("min_dur"),
                   F.coalesce(F.max("duration_s"), F.lit(-1.0)).alias("max_dur"),
                   F.coalesce(F.min("rms"), F.lit(-1.0)).alias("min_rms"),
+                  F.coalesce(F.max("gain"), F.lit(-1.0)).alias("max_gain"),
                   F.coalesce(F.max("motion"), F.lit(-1.0)).alias("max_motion"),
                   F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("n_errors"))
     )
@@ -1610,6 +1611,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(min(duration_s), -1.0) as min_dur,
                    coalesce(max(duration_s), -1.0) as max_dur,
                    coalesce(min(rms), -1.0) as min_rms,
+                   coalesce(max(gain), -1.0) as max_gain,
                    coalesce(max(motion), -1.0) as max_motion,
                    sum(case when error is not null then 1 else 0 end)::bigint as n_errors
             from read_parquet('{_MCACHE}/*.parquet')

@@ -577,3 +577,22 @@ def test_url_dedup_hashed_tiebreakers(spark):
         assert len(got) == 1
         picks.add((bytes(got[0]["html"]), tuple(got[0]["tags"])))
     assert len(picks) == 1, f"survivor not deterministic: {picks}"
+
+
+def test_mp3_side_info_gain():
+    """MP3 side-info global_gain parse (fixed-layout bits, no Huffman):
+    planted per-granule gains are recovered exactly; non-MP3 returns None."""
+    import numpy as np
+
+    from docvision_spark.kernel.av_codec import (
+        encode_mp3_stub, mp3_mean_global_gain)
+
+    p = encode_mp3_stub(11, n_frames=6)
+    rng = np.random.default_rng(11 & 0xFFFFFFFF)
+    exp = []
+    flen = 1152 // 8 * 128 * 1000 // 44100
+    for _ in range(6):
+        exp += [int(rng.integers(80, 220)), int(rng.integers(80, 220))]
+        rng.integers(0, 256, size=flen - 4 - 17, dtype=np.uint8)
+    assert mp3_mean_global_gain(p) == round(sum(exp) / len(exp), 3)
+    assert mp3_mean_global_gain(b"RIFF????WAVEfmt ") is None
