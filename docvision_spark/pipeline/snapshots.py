@@ -225,8 +225,11 @@ def compact(spark: SparkSession, table_dir: str,
 
     Scale shape: each partition compacts independently from a column-
     complete scan of only its small files — no shuffle (coalesce, not
-    repartition), no driver-side row movement; the driver only lists
-    file metadata."""
+    repartition), no driver-side row movement; the driver only lists file
+    metadata. Per-partition rewrite jobs are submitted CONCURRENTLY
+    (Spark schedulers accept actions from many driver threads), so a
+    10k-partition table is bounded by cluster capacity, not by a serial
+    driver loop; `max_concurrency` caps in-flight jobs."""
     m = read_manifest(table_dir)
     if m is None or not m["files"]:
         return {"compacted_partitions": 0, "files_before": 0, "files_after": 0}
@@ -238,19 +241,28 @@ def compact(spark: SparkSession, table_dir: str,
         if os.path.getsize(os.path.join(data_dir, rel)) < target:
             by_dir.setdefault(d, []).append(rel)
     staging = new_staging(table_dir)
-    replaced: list[str] = []
-    n_parts = 0
-    for d, rels in sorted(by_dir.items()):
-        if len(rels) < min_files:
-            continue
+    jobs = [(d, rels) for d, rels in sorted(by_dir.items())
+            if len(rels) >= min_files]
+
+    def rewrite(d: str, rels: list[str]) -> list[str]:
         total = sum(os.path.getsize(os.path.join(data_dir, r)) for r in rels)
         n_out = max(1, (total + target - 1) // target)
         df = spark.read.option("basePath", data_dir).parquet(
             *[os.path.join(data_dir, r) for r in rels])
         out_dir = os.path.join(staging, d) if d else staging
         df.coalesce(int(n_out)).write.mode("overwrite").parquet(out_dir)
-        replaced.extend(rels)
-        n_parts += 1
+        return rels
+
+    replaced: list[str] = []
+    n_parts = 0
+    if jobs:
+        from concurrent.futures import ThreadPoolExecutor
+        max_concurrency = 8
+        with ThreadPoolExecutor(max_workers=min(max_concurrency,
+                                                len(jobs))) as pool:
+            for rels in pool.map(lambda jd: rewrite(*jd), jobs):
+                replaced.extend(rels)
+                n_parts += 1
     if not replaced:
         shutil.rmtree(staging, ignore_errors=True)
         return {"compacted_partitions": 0,
