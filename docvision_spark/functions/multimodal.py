@@ -300,7 +300,14 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                 except Exception as e:  # noqa: BLE001
                     row["error"] = f"{type(e).__name__}: {e}"[:200]
                 out.append(row)
-            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+            # dtype=object is load-bearing: pandas coerces a mixed
+            # int/None column (dhash over an image+audio batch) to
+            # float64, silently truncating int64 hashes past 2^53 — and
+            # which batches mix kinds depends on PARTITIONING, so the
+            # corruption was nondeterministic. Object columns hand Arrow
+            # exact python ints; the declared schema does the typing.
+            yield pd.DataFrame(out, dtype=object,
+                               columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.mapInPandas(fn, schema=FEATURE_SCHEMA)
 
@@ -345,7 +352,10 @@ def resize_images(df: DataFrame, max_side: int = 16) -> DataFrame:
                 except Exception as e:  # noqa: BLE001
                     row["error"] = f"{type(e).__name__}: {e}"[:200]
                 out.append(row)
-            yield pd.DataFrame(out, columns=[f.name for f in THUMB_SCHEMA.fields])
+            # dtype=object: same int/None float64-coercion guard as the
+            # feature stage (see extract_media_features)
+            yield pd.DataFrame(out, dtype=object,
+                               columns=[f.name for f in THUMB_SCHEMA.fields])
 
     return df.mapInPandas(fn, schema=THUMB_SCHEMA)
 

@@ -823,7 +823,8 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 11  # rev 11: mp3 side-info `gain` column joins the features
+_MCACHE_REV = 12  # rev 12: dtype=object guard — rev<=11 caches may carry
+# float64-truncated dhash/ahash values from mixed-kind batches
 
 
 def _media_features(spark: SparkSession, sf: str):

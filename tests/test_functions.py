@@ -596,3 +596,34 @@ def test_mp3_side_info_gain():
         rng.integers(0, 256, size=flen - 4 - 17, dtype=np.uint8)
     assert mp3_mean_global_gain(p) == round(sum(exp) / len(exp), 3)
     assert mp3_mean_global_gain(b"RIFF????WAVEfmt ") is None
+
+
+@pytest.mark.spark
+def test_media_features_int64_hash_precision_partition_invariant(spark):
+    """Regression: pandas coerces a mixed int/None column to float64,
+    truncating int64 hashes past 2^53 — and batch composition depends on
+    partitioning, so dhash silently varied by cores. Features must be
+    bit-identical across partitionings and carry full 64-bit hashes."""
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features, make_fake_media,
+        make_synthetic_image)
+
+    # one batch that MUST mix image rows (int dhash) with audio (None)
+    rows = [(i, "image", make_synthetic_image(i, 48, 32)) for i in range(6)]
+    rows += [(100 + i, "audio", make_fake_media(100 + i, "audio", 0, 0, 8000))
+             for i in range(3)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ref = None
+    for n_parts in (1, 4):
+        got = {r["media_id"]: (r["ahash"], r["dhash"]) for r in
+               extract_media_features(df.repartition(n_parts)).collect()
+               if r["dhash"] is not None}
+        assert len(got) == 6
+        # full 64-bit precision: at least one hash must have nonzero low
+        # byte (float64 truncation zeroes the low ~11 bits of 2^63-scale
+        # values, a property the synthetic hashes are overwhelmingly
+        # unlikely to share across all 12 values)
+        assert any((h & 0xFF) for pair in got.values() for h in pair)
+        if ref is None:
+            ref = got
+        assert got == ref, "features must not depend on partitioning"
