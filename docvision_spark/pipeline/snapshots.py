@@ -15,6 +15,7 @@ an Iceberg catalog; run_extract_job's logic is unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -24,10 +25,54 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_manifest.json"
+COMMIT_LOCK = "_commit.lock"
+_LOCK_STALE_S = 120.0
+_LOCK_TIMEOUT_S = 60.0
 
 
 def _manifest_path(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST)
+
+
+@contextlib.contextmanager
+def _commit_lock(table_dir: str):
+    """Interprocess mutex around the manifest read-modify-write.
+
+    Two writers (e.g. an incremental append and a concurrent compact())
+    each do read prev -> build manifest(parent=prev) -> publish; without
+    mutual exclusion the second publish silently discards the first
+    commit's files. O_CREAT|O_EXCL on a lock file serializes the critical
+    section (atomic on POSIX local filesystems); the lock is held only
+    for the manifest swap, never during data-file writes, so contention
+    is microseconds. A crashed holder's lock older than _LOCK_STALE_S is
+    broken. On a real object store this is replaced by the Iceberg
+    catalog's compare-and-swap on the metadata pointer; callers are
+    unchanged."""
+    os.makedirs(table_dir, exist_ok=True)
+    path = os.path.join(table_dir, COMMIT_LOCK)
+    deadline = time.monotonic() + _LOCK_TIMEOUT_S
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(path) > _LOCK_STALE_S:
+                    os.remove(path)  # break a crashed holder's stale lock
+                    continue
+            except FileNotFoundError:
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(f"commit lock busy > {_LOCK_TIMEOUT_S}s: "
+                                   f"{path}")
+            time.sleep(0.02)
+    try:
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(path)
 
 
 def _write_json_atomic(path: str, obj: dict) -> None:
@@ -64,8 +109,12 @@ def _collect_files(root: str) -> list[str]:
 
 
 def commit(table_dir: str, staging: str, data_dir: str, row_count: int) -> str:
-    """Move staged files into data/ and atomically publish a new snapshot."""
-    prev = read_manifest(table_dir)
+    """Move staged files into data/ and atomically publish a new snapshot.
+
+    The data-file moves happen OUTSIDE the commit lock (they are keyed by a
+    fresh snapshot id, so they can't collide with a concurrent writer); only
+    the manifest read-modify-write is serialized, so a concurrent append and
+    compact() each land with the other's files carried over."""
     snapshot_id = uuid.uuid4().hex[:16]
     moved: list[str] = []
     for rel in _collect_files(staging):
@@ -79,26 +128,30 @@ def commit(table_dir: str, staging: str, data_dir: str, row_count: int) -> str:
         moved.append(dst_rel)
     shutil.rmtree(staging, ignore_errors=True)
 
-    manifest = {
-        "snapshot_id": snapshot_id,
-        "parent_id": prev["snapshot_id"] if prev else None,
-        "sequence": (prev["sequence"] + 1) if prev else 0,
-        "committed_at": time.time(),
-        "row_count_delta": row_count,
-        "files": (prev["files"] if prev else []) + moved,
-    }
-    _write_json_atomic(_manifest_path(table_dir), manifest)  # atomic publish
-    # immutable per-snapshot manifest (Iceberg metadata-log analogue) —
-    # written AFTER the pointer flip: a crash in between must never leave a
-    # never-published snapshot in history (its sequence number would be
-    # reused by the next commit, making as_of=<seq> ambiguous). The reverse
-    # gap — published but missing from history — is self-healed by
-    # snapshot_log() merging the current manifest.
-    log_dir = os.path.join(table_dir, "snapshots")
-    os.makedirs(log_dir, exist_ok=True)
-    _write_json_atomic(
-        os.path.join(log_dir, f"{manifest['sequence']:06d}-{snapshot_id}.json"),
-        manifest)
+    with _commit_lock(table_dir):
+        prev = read_manifest(table_dir)
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent_id": prev["snapshot_id"] if prev else None,
+            "sequence": (prev["sequence"] + 1) if prev else 0,
+            "committed_at": time.time(),
+            "row_count_delta": row_count,
+            "files": (prev["files"] if prev else []) + moved,
+        }
+        _write_json_atomic(_manifest_path(table_dir), manifest)  # publish
+        # immutable per-snapshot manifest (Iceberg metadata-log analogue) —
+        # written AFTER the pointer flip: a crash in between must never
+        # leave a never-published snapshot in history (its sequence number
+        # would be reused by the next commit, making as_of=<seq>
+        # ambiguous). The reverse gap — published but missing from
+        # history — is self-healed by snapshot_log() merging the current
+        # manifest.
+        log_dir = os.path.join(table_dir, "snapshots")
+        os.makedirs(log_dir, exist_ok=True)
+        _write_json_atomic(
+            os.path.join(log_dir,
+                         f"{manifest['sequence']:06d}-{snapshot_id}.json"),
+            manifest)
     return snapshot_id
 
 
@@ -175,12 +228,6 @@ def commit_replace(table_dir: str, staging: str, data_dir: str,
     primitive for compaction (Iceberg rewrite_data_files analogue). The
     replaced files stay on disk: older snapshots still reference them for
     time travel until expire_snapshots() reclaims them."""
-    prev = read_manifest(table_dir)
-    if prev is None:
-        raise ValueError("commit_replace on a table with no snapshot")
-    missing = set(replaced) - set(prev["files"])
-    if missing:
-        raise ValueError(f"replace of files not in current snapshot: {missing}")
     snapshot_id = uuid.uuid4().hex[:16]
     moved: list[str] = []
     for rel in _collect_files(staging):
@@ -191,28 +238,41 @@ def commit_replace(table_dir: str, staging: str, data_dir: str,
         shutil.move(os.path.join(staging, rel), dst)
         moved.append(dst_rel)
     shutil.rmtree(staging, ignore_errors=True)
-    kept = [f for f in prev["files"] if f not in set(replaced)]
-    manifest = {
-        "snapshot_id": snapshot_id,
-        "parent_id": prev["snapshot_id"],
-        "sequence": prev["sequence"] + 1,
-        "committed_at": time.time(),
-        "row_count_delta": 0,
-        "operation": "replace",
-        "replaced_files": sorted(replaced),
-        "files": kept + moved,
-    }
-    _write_json_atomic(_manifest_path(table_dir), manifest)
-    log_dir = os.path.join(table_dir, "snapshots")
-    os.makedirs(log_dir, exist_ok=True)
-    _write_json_atomic(
-        os.path.join(log_dir, f"{manifest['sequence']:06d}-{snapshot_id}.json"),
-        manifest)
+    with _commit_lock(table_dir):
+        # prev is read INSIDE the lock: a concurrent append between
+        # compact()'s planning scan and this commit adds files that must
+        # carry over into `kept` (they were not among the rewritten ones).
+        prev = read_manifest(table_dir)
+        if prev is None:
+            raise ValueError("commit_replace on a table with no snapshot")
+        missing = set(replaced) - set(prev["files"])
+        if missing:
+            raise ValueError(
+                f"replace of files not in current snapshot: {missing}")
+        kept = [f for f in prev["files"] if f not in set(replaced)]
+        manifest = {
+            "snapshot_id": snapshot_id,
+            "parent_id": prev["snapshot_id"],
+            "sequence": prev["sequence"] + 1,
+            "committed_at": time.time(),
+            "row_count_delta": 0,
+            "operation": "replace",
+            "replaced_files": sorted(replaced),
+            "files": kept + moved,
+        }
+        _write_json_atomic(_manifest_path(table_dir), manifest)
+        log_dir = os.path.join(table_dir, "snapshots")
+        os.makedirs(log_dir, exist_ok=True)
+        _write_json_atomic(
+            os.path.join(log_dir,
+                         f"{manifest['sequence']:06d}-{snapshot_id}.json"),
+            manifest)
     return snapshot_id
 
 
 def compact(spark: SparkSession, table_dir: str,
-            target_mb: int = 256, min_files: int = 2) -> dict:
+            target_mb: int = 256, min_files: int = 2,
+            max_concurrency: int = 8) -> dict:
     """Small-file compaction (Iceberg rewrite_data_files analogue).
 
     Append-only snapshot tables accrete one file per task per commit; at
@@ -249,15 +309,37 @@ def compact(spark: SparkSession, table_dir: str,
         n_out = max(1, (total + target - 1) // target)
         df = spark.read.option("basePath", data_dir).parquet(
             *[os.path.join(data_dir, r) for r in rels])
-        out_dir = os.path.join(staging, d) if d else staging
-        df.coalesce(int(n_out)).write.mode("overwrite").parquet(out_dir)
+        # basePath infers directory partition columns (bucket=N) INTO the
+        # DataFrame; writing them out would physically embed them in the
+        # rewritten files while the original append-path files don't carry
+        # them — mixed per-file schemas in one table. The partition dirs in
+        # staging preserve the values for basePath reads, so drop the
+        # inferred columns before the rewrite write.
+        part_cols = [seg.split("=", 1)[0]
+                     for seg in d.split(os.sep) if "=" in seg]
+        if part_cols:
+            df = df.drop(*part_cols)
+        if d:
+            out_dir = os.path.join(staging, d)
+            df.coalesce(int(n_out)).write.mode("overwrite").parquet(out_dir)
+        else:
+            # root-level files: never write directly into the shared
+            # staging root (mode=overwrite would clobber sibling
+            # partitions' already-staged subdirs). Stage into a scratch
+            # subdir, then hoist the parquet files up to the root.
+            scratch = os.path.join(staging, f"_root-{uuid.uuid4().hex[:8]}")
+            df.coalesce(int(n_out)).write.mode("overwrite").parquet(scratch)
+            for fn in os.listdir(scratch):
+                if fn.endswith(".parquet"):
+                    shutil.move(os.path.join(scratch, fn),
+                                os.path.join(staging, fn))
+            shutil.rmtree(scratch, ignore_errors=True)
         return rels
 
     replaced: list[str] = []
     n_parts = 0
     if jobs:
         from concurrent.futures import ThreadPoolExecutor
-        max_concurrency = 8
         with ThreadPoolExecutor(max_workers=min(max_concurrency,
                                                 len(jobs))) as pool:
             for rels in pool.map(lambda jd: rewrite(*jd), jobs):

@@ -230,3 +230,95 @@ def test_expire_snapshots_gc(spark, pages_dir, tmp_path):
                for dp, _d, fs in os.walk(data_dir) for f in fs
                if f.endswith(".parquet")}
     assert on_disk == set(snapshots.read_manifest(out_dir)["files"])
+
+
+@pytest.mark.spark
+def test_concurrent_append_and_compact_lose_neither(spark, pages_dir, tmp_path):
+    """Commit concurrency: an append and a compact() racing on the same
+    table must BOTH land (the manifest read-modify-write is serialized by
+    the commit lock). Without the lock, whichever publishes second
+    rebuilds its manifest from a stale parent and silently drops the
+    other's files."""
+    import threading
+
+    from docvision_spark.corpus import gen_urls
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.extract_job import read_pages, run_extract_job
+
+    out_dir = str(tmp_path / "out_race")
+    urls = gen_urls(300)
+    pages = read_pages(spark, pages_dir)
+
+    def subset(us, name):
+        df = spark.createDataFrame([(u,) for u in us], "url string")
+        p = str(tmp_path / name)
+        pages.join(F.broadcast(df), "url", "left_semi").write.parquet(p)
+        return p
+
+    p1 = subset(urls[:100], "race_p1")
+    p2 = subset(urls[100:200], "race_p2")
+    p3 = subset(urls[200:], "race_p3")
+    run_extract_job(spark, p1, out_dir, partitions=4)
+    run_extract_job(spark, p2, out_dir, partitions=4)
+    n_before = snapshots.read_table(spark, out_dir).count()
+
+    errs = []
+
+    def run(fn):
+        try:
+            fn()
+        except Exception as e:  # pragma: no cover - surfaced via errs
+            errs.append(e)
+
+    t_append = threading.Thread(target=run, args=(
+        lambda: run_extract_job(spark, p3, out_dir, partitions=4),))
+    t_compact = threading.Thread(target=run, args=(
+        lambda: snapshots.compact(spark, out_dir, target_mb=256,
+                                  max_concurrency=4),))
+    t_append.start(); t_compact.start()
+    t_append.join(); t_compact.join()
+    assert not errs, errs
+
+    # both commits survived: all 300 urls present, two new snapshots
+    table = snapshots.read_table(spark, out_dir)
+    assert table.count() == n_before + 100
+    assert {r["url"] for r in table.select("url").collect()} == set(urls)
+    log = snapshots.snapshot_log(out_dir)
+    seqs = [s["sequence"] for s in log]
+    assert seqs == sorted(seqs) and len(seqs) == len(set(seqs)) == 4
+    assert any(s.get("operation") == "replace" for s in log[2:])
+    # lock released
+    assert not os.path.exists(os.path.join(out_dir, snapshots.COMMIT_LOCK))
+
+
+@pytest.mark.spark
+def test_compact_rewrites_without_embedded_partition_column(
+        spark, pages_dir, tmp_path):
+    """Rewritten files must NOT physically embed the inferred bucket
+    partition column (append-path files don't carry it; mixed per-file
+    schemas are fragile across engines)."""
+    from docvision_spark.corpus import gen_urls
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.extract_job import read_pages, run_extract_job
+
+    out_dir = str(tmp_path / "out_schema")
+    half = set(gen_urls(300)[:150])
+    pages = read_pages(spark, pages_dir)
+    half_df = spark.createDataFrame([(u,) for u in half], "url string")
+    half_path = str(tmp_path / "half_pages_s")
+    pages.join(F.broadcast(half_df), "url", "left_semi").write.parquet(half_path)
+    run_extract_job(spark, half_path, out_dir, partitions=4)
+    run_extract_job(spark, pages_dir, out_dir, partitions=4)
+    rep = snapshots.compact(spark, out_dir, target_mb=256)
+    assert rep["compacted_partitions"] > 0
+
+    m = snapshots.read_manifest(out_dir)
+    data_dir = os.path.join(out_dir, "data")
+    rewritten = [f for f in m["files"]
+                 if f.startswith(os.path.join("bucket=0", m["snapshot_id"]))]
+    assert rewritten, m["files"]
+    # read ONE rewritten file directly (no basePath): physical schema only
+    phys = spark.read.parquet(os.path.join(data_dir, rewritten[0]))
+    assert "bucket" not in phys.columns
+    # and the table read still reconstructs bucket from the directory
+    assert "bucket" in snapshots.read_table(spark, out_dir).columns
