@@ -25,6 +25,11 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--compact-mb", type=int, default=0,
+                    help="if >0, run small-file compaction on the output "
+                         "table to ~N MB files after the extract commit "
+                         "(one atomic replace snapshot; resume and time "
+                         "travel preserved)")
     args = ap.parse_args()
 
     from docvision_spark.pipeline.extract_job import run_extract_job
@@ -35,6 +40,10 @@ def main() -> None:
         spark, args.input, args.output,
         partitions=args.partitions, resume=not args.no_resume,
     )
+    if args.compact_mb > 0:
+        from docvision_spark.pipeline import snapshots
+        summary["compact"] = snapshots.compact(
+            spark, args.output, target_mb=args.compact_mb)
     print(json.dumps(summary))
     spark.stop()
 

@@ -49,6 +49,50 @@ def run_once(cores: int, pages_dir: str) -> dict:
     return json.loads(line)
 
 
+# Per-query protocol (round-4 verdict directive): the driver's bench window
+# can be 3-4x off engine reality on this shared host, and only a judge-side
+# rerun could tell. Record each headline query's wall under the SAME
+# fresh-JVM protocol as extraction: per JVM each query runs twice (first
+# wall includes plan compile + python-worker spin-up; second is steady
+# state) and the min is kept; the median of per-JVM mins across repeats
+# goes into history.jsonl, where bench.py re-emits it beside the window
+# numbers so round-over-round deltas are computable from artifacts alone.
+CHILD_Q = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from docvision_spark.pipeline.session import get_spark
+from docvision_spark.queries import queries
+
+cores = int(sys.argv[1]); sf_dir = sys.argv[2]; names = json.loads(sys.argv[3])
+spark = get_spark(app_name=f"scale-q-{{cores}}", cores=cores)
+spark.sparkContext.setLogLevel("ERROR")
+reg = queries()
+walls = {{}}
+for name in names:
+    per = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        reg[name](spark, sf_dir).count()
+        per.append(round(time.perf_counter() - t0, 3))
+    walls[name] = per
+print(json.dumps(walls))
+spark.stop()
+"""
+
+
+def run_queries_once(cores: int, sf_dir: str, names: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", CHILD_Q.format(repo=REPO),
+         str(cores), sf_dir, json.dumps(names)],
+        capture_output=True, text=True, timeout=2400,
+    )
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"query child failed:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 48000
     repeat = 3
@@ -81,6 +125,22 @@ def main() -> None:
         print(f"local[{cores}]: {best['docs_per_sec']:.0f} docs/s "
               f"({best['docs']} docs in {best['wall_s']:.1f}s)")
 
+    # per-query protocol medians (cores = the bench's own core count)
+    qcores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from bench import HEADLINE
+    qwalls: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    if "--no-queries" not in sys.argv:
+        for rep in range(repeat):
+            w = run_queries_once(qcores, sf_dir, HEADLINE)
+            for n, per in w.items():
+                qwalls[n].append(min(per))
+            print(f"  rep{rep} queries: "
+                  + " ".join(f"{n.split('_')[0]}={min(p):.2f}"
+                             for n, p in w.items()))
+    query_protocol = {
+        n: sorted(v)[(len(v) - 1) // 2] for n, v in qwalls.items() if v}
+
     eff_2_8 = results[8]["docs_per_sec"] / results[2]["docs_per_sec"] / 4
     eff_8_32 = results[32]["docs_per_sec"] / results[8]["docs_per_sec"] / 4
     cap_2_8 = capacity[8] / capacity[2]
@@ -107,6 +167,9 @@ def main() -> None:
             "results": {str(c): r for c, r in results.items()},
             "eff_2_8": round(eff_2_8, 3), "eff_8_32": round(eff_8_32, 3),
             "eff_2_8_cap": round(eff_2_8_cap, 3),
+            "query_protocol_medians": query_protocol,
+            "query_protocol_walls": {n: v for n, v in qwalls.items() if v},
+            "query_protocol_cores": qcores,
         }) + "\n")
     best_ever: dict[int, float] = {}
     effs_2_8: list[float] = []
@@ -130,6 +193,9 @@ def main() -> None:
     cap_rows = "\n".join(
         f"| {p} | {u:.0f} | {u / capacity[2] * 2:.1f} |"
         for p, u in sorted(capacity.items()))
+    qp_rows = "\n".join(
+        f"| {n} | {m:.2f} | {', '.join(f'{w:.2f}' for w in qwalls[n])} |"
+        for n, m in sorted(query_protocol.items())) or "| (skipped) | | |"
     with open(md, "w") as f:
         f.write(f"""# BENCH/BASELINE — scaling evidence (north rule)
 
@@ -160,6 +226,18 @@ cannot set a record because the headline is the cross-run median.
 
 Best docs/sec ever observed per config (BENCH/history.jsonl):
 {best_rows}
+
+## Headline-query protocol walls (local[{qcores}], sf0.1)
+
+Same fresh-JVM protocol as extraction: per JVM each query runs twice and
+the min is kept (first wall folds in plan compile + python-worker
+spin-up); the median across fresh-JVM repeats is the number to compare
+driver-window times against. bench.py re-emits the latest medians as
+`query_protocol_medians`.
+
+| query | median s | per-JVM mins |
+|---|---|---|
+{qp_rows}
 
 ## Why two pairs
 
