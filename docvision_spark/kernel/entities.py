@@ -13,16 +13,41 @@ import re
 
 from docvision_spark.kernel.entities_table import FULL, LEGACY
 
-# Whitespace-normalization policy overrides: the WHATWG table maps these to
-# U+00A0/U+00AD/U+2002/U+2003/U+2009, but the kernel deliberately folds
-# non-breaking/thin/en/em spaces to plain spaces and strips soft hyphens —
-# training-text normalization, frozen since round 1 (golden-gated).
-_OVERRIDES = {"nbsp": " ", "shy": "", "ensp": " ", "emsp": " ",
-              "thinsp": " "}
+# Whitespace-normalization policy, CHARACTER-based (round-4 ADVICE: the
+# old name-keyed overrides {nbsp, shy, ensp, emsp, thinsp} let WHATWG
+# synonyms for the same characters — NonBreakingSpace, ThinSpace, emsp13,
+# hairsp, MediumSpace, ... — bypass the policy, so one character
+# normalized differently by entity name). Any replacement consisting
+# solely of these codepoints is folded per-char: Unicode space-separator
+# family -> plain space, soft hyphen -> removed — training-text
+# normalization, frozen since round 1 (golden-gated).
+_WS_FOLD = {
+    "\u00a0": " ",  # no-break space (nbsp, NonBreakingSpace)
+    "\u00ad": "",   # soft hyphen (shy)
+    "\u2002": " ",  # en space (ensp)
+    "\u2003": " ",  # em space (emsp)
+    "\u2004": " ",  # three-per-em space (emsp13)
+    "\u2005": " ",  # four-per-em space (emsp14)
+    "\u2006": " ",  # six-per-em space
+    "\u2007": " ",  # figure space (numsp)
+    "\u2008": " ",  # punctuation space (puncsp)
+    "\u2009": " ",  # thin space (thinsp, ThinSpace; in ThickSpace)
+    "\u200a": " ",  # hair space (hairsp, VeryThinSpace)
+    "\u202f": " ",  # narrow no-break space
+    "\u205f": " ",  # medium mathematical space (MediumSpace)
+}
+
+
+def _fold_ws(rep: str) -> str:
+    if rep and all(c in _WS_FOLD for c in rep):
+        return "".join(_WS_FOLD[c] for c in rep)
+    return rep
+
 
 # The COMPLETE 2,125-name WHATWG table (frozen snapshot in entities_table,
-# regenerated only via scripts/make_entities_table.py) + policy overrides.
-ENTITIES: dict[str, str] = {**FULL, **_OVERRIDES}
+# regenerated only via scripts/make_entities_table.py) + the whitespace
+# policy applied uniformly by character.
+ENTITIES: dict[str, str] = {n: _fold_ws(r) for n, r in FULL.items()}
 
 # Names browsers accept WITHOUT a trailing semicolon (the WHATWG legacy
 # set, 106 names incl. uppercase forms). Everything newer requires the

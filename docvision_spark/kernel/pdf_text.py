@@ -335,7 +335,12 @@ def _load_stream(body: bytes, oid: int = 0, crypt: "_Crypt | None" = None) -> by
         return b""
     data = sm.group(1)
     if crypt is not None:
-        data = crypt.decrypt(oid, data)
+        try:
+            data = crypt.decrypt(oid, data)
+        except PdfEncryptedError:
+            raise  # first-stream pad failure: key-level, kills the doc
+        except ValueError:
+            return b""  # later per-stream pad failure: corrupt stream
     dict_part = body[:sm.start()]
     fm = _FILTER_VAL_RE.search(dict_part)
     if not fm:
@@ -471,24 +476,37 @@ class _Crypt:
     streams; a nonzero gen would only mis-key that one object). V5/AESV3
     has no per-object key at all — streams use the file key directly."""
 
-    __slots__ = ("key", "aes", "v5")
+    __slots__ = ("key", "aes", "v5", "n_ok")
 
     def __init__(self, key: bytes, aes: bool, v5: bool = False):
         self.key = key
         self.aes = aes
         self.v5 = v5
+        self.n_ok = 0
 
     def decrypt(self, oid: int, data: bytes) -> bytes:
         from docvision_spark.kernel import pdf_crypt
         try:
             if self.v5:
-                return pdf_crypt.decrypt_object_v5(self.key, data)
-            return pdf_crypt.decrypt_object(self.key, oid, 0, data, self.aes)
+                out = pdf_crypt.decrypt_object_v5(self.key, data)
+            else:
+                out = pdf_crypt.decrypt_object(self.key, oid, 0, data,
+                                               self.aes)
+            self.n_ok += 1
+            return out
         except pdf_crypt.AesPaddingError as e:
-            # bad pad after successful /U auth => the stream key is wrong
-            # (mis-parsed /ID or corrupt file) — surface a typed error row
-            # rather than silently-empty pages (round-3 advice)
-            raise PdfEncryptedError(f"decrypt failed: {e}") from e
+            # A bad pad on the FIRST decrypted stream after successful /U
+            # auth is a key-level signal (mis-parsed /ID or a non-standard
+            # KDF) => typed error row rather than silently-empty pages
+            # (round-3 advice). Once at least one stream has decrypted
+            # cleanly the key is proven right, so a later pad failure is
+            # per-stream corruption — degrade that one stream to b'' like
+            # every other corrupt-stream case (_load_stream's contract;
+            # round-4 ADVICE: one bit-rotted stream must not reclassify an
+            # otherwise-extractable doc as pdf_encrypted).
+            if self.n_ok == 0:
+                raise PdfEncryptedError(f"decrypt failed: {e}") from e
+            raise ValueError(f"stream decrypt pad failure: {e}") from e
 
 
 def _build_crypt(payload: bytes, objs: dict[int, bytes]) -> _Crypt | None:

@@ -491,6 +491,16 @@ def _apply_color_inverse(px: np.ndarray, w: int, h: int,
              | (g.astype(np.uint32) << 8) | b2.astype(np.uint32))
 
 
+# Decode-time pixel budget: the 14-bit header fields allow 16384x16384
+# (~268M px), and the pixel decode / predictor inverse are per-pixel
+# pure-Python/row loops — one crafted (or merely huge) lossless WebP must
+# not stall an executor task for minutes. 16M px covers every real
+# document raster (A4 @ 300dpi is ~8.7M); larger raises the typed
+# ImageDecodeError and lands in the media error column like every other
+# malformed input (round-4 ADVICE).
+VP8L_MAX_PIXELS = 16 * 1024 * 1024
+
+
 def vp8l_decode(body: bytes) -> np.ndarray:
     """Decode a VP8L chunk body to (H, W, 4) uint8 RGBA."""
     if len(body) < 5 or body[0] != 0x2F:
@@ -498,6 +508,8 @@ def vp8l_decode(body: bytes) -> np.ndarray:
     br = _BitReader(body[1:])
     w = br.read(14) + 1
     h = br.read(14) + 1
+    if w * h > VP8L_MAX_PIXELS:
+        raise ImageDecodeError(f"vp8l: {w}x{h} exceeds pixel budget")
     br.read(1)   # alpha hint
     if br.read(3) != 0:
         raise ImageDecodeError("vp8l: unsupported version")

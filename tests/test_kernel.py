@@ -547,3 +547,24 @@ def test_entities_full_whatwg_table():
     # post-legacy names still REQUIRE the semicolon
     assert decode_entities("&CounterClockwiseContourIntegral") == \
         "&CounterClockwiseContourIntegral"
+
+
+def test_entity_whitespace_policy_is_character_based():
+    """WHATWG synonyms for the same whitespace characters must normalize
+    identically to the canonical names (round-4 ADVICE: the old name-keyed
+    overrides let NonBreakingSpace/ThinSpace/emsp13/... bypass the
+    policy)."""
+    from docvision_spark.kernel.entities import ENTITIES
+
+    assert ENTITIES["nbsp"] == ENTITIES["NonBreakingSpace"] == " "
+    assert ENTITIES["thinsp"] == ENTITIES["ThinSpace"] == " "
+    assert ENTITIES["emsp13"] == ENTITIES["emsp14"] == " "
+    assert ENTITIES["hairsp"] == ENTITIES["VeryThinSpace"] == " "
+    assert ENTITIES["MediumSpace"] == " "
+    assert ENTITIES["numsp"] == ENTITIES["puncsp"] == " "
+    assert ENTITIES["ThickSpace"] == "  "  # U+205F U+2009, folded per-char
+    assert ENTITIES["shy"] == ""
+    # non-space-family replacements are untouched
+    assert ENTITIES["NewLine"] == "\n" and ENTITIES["Tab"] == "\t"
+    assert ENTITIES["ZeroWidthSpace"] == "​"  # not a space separator
+    assert ENTITIES["amp"] == "&"

@@ -261,3 +261,68 @@ def test_hash_r6_cross_implementation():
     assert v1 == _hash_r6_independent(b"user", b"\x01\x02\x03\x04\x05\x06\x07\x08")
     assert v2 == _hash_r6_independent(b"", b"\x00" * 8)
     assert v1 != v2 and len(v1) == 32
+
+
+def test_pad_failure_scope_first_stream_vs_later():
+    """AES pad-failure policy (round-4 ADVICE): a bad pad on the FIRST
+    decrypted stream is a key-level signal -> PdfEncryptedError (typed
+    error row); once one stream has decrypted cleanly, a later pad
+    failure is per-stream corruption and must degrade to b'' via
+    _load_stream instead of reclassifying the document."""
+    import pytest
+
+    from docvision_spark.kernel import pdf_crypt as pc
+    from docvision_spark.kernel import pdf_text as pt
+
+    key = bytes(range(16))
+    good = pc.encrypt_object(key, 7, 0, b"hello stream", True)
+    bad = good[:-1] + bytes([good[-1] ^ 0xFF])
+    while True:  # ensure the flipped pad really is invalid
+        try:
+            pc.decrypt_object(key, 7, 0, bad, True)
+        except pc.AesPaddingError:
+            break
+        bad = bad[:-2] + bytes([bad[-2] ^ 0x55]) + bad[-1:]
+
+    # fresh crypt, first stream bad -> document-level typed error
+    c = pt._Crypt(key, aes=True)
+    with pytest.raises(pt.PdfEncryptedError):
+        c.decrypt(7, bad)
+
+    # after one clean decrypt, the same bad stream degrades per-stream
+    c2 = pt._Crypt(key, aes=True)
+    assert c2.decrypt(7, good) == b"hello stream"
+    body = b"7 0 obj <</Length 99>> stream\n" + bad + b"\nendstream endobj"
+    assert pt._load_stream(body, 7, c2) == b""
+    # and the crypt object still works for subsequent good streams
+    assert c2.decrypt(7, good) == b"hello stream"
+
+
+def test_pad_failure_later_stream_keeps_document(tmp_path):
+    """Integration: corrupt the LAST encrypted stream of an AES doc; the
+    document must still extract (error is None or a non-encryption error),
+    never pdf_encrypted — unless the corrupted stream happened to be the
+    first one decrypted, which the planted corpus layout avoids."""
+    import random
+    import re as _re
+
+    from docvision_spark.corpus import make_pdf
+    from docvision_spark.kernel.extract import extract
+
+    enc = make_pdf("https://e.com/pad", random.Random(5), "en",
+                   force_layout15=False, force_type0=False,
+                   force_encrypt="aes")
+    spans = []
+    for m in _re.finditer(rb"stream\r?\n(.*?)endstream", enc, _re.S):
+        s0, e0 = m.span(1)
+        while e0 > s0 and enc[e0 - 1] in (0x0A, 0x0D):  # trailing EOL
+            e0 -= 1
+        if (e0 - s0) % 16 == 0 and e0 - s0 >= 32:  # iv + >=1 block: AES
+            spans.append((s0, e0))
+    assert len(spans) >= 2
+    s, e = spans[-1]
+    corrupted = bytearray(enc)
+    corrupted[e - 1] ^= 0xFF
+    corrupted[e - 2] ^= 0x55  # kill both valid-pad escapes
+    r = extract("https://e.com/pad", bytes(corrupted))
+    assert r.error != "pdf_encrypted", r.error

@@ -369,3 +369,20 @@ def test_crafted_meta_prefix_backref_lands_mid_tile():
     assert [tuple(px) for px in out[0, :7, :3]] == [(70, 7, 77)] * 7
     assert tuple(out[0, 7, :3]) == (90, 9, 99), \
         "literal after mid-tile backref used the stale prefix group"
+
+
+def test_vp8l_pixel_budget():
+    """A header declaring more than VP8L_MAX_PIXELS raises the typed
+    ImageDecodeError BEFORE entering the per-pixel decode loops (round-4
+    ADVICE: the 14-bit fields allow 16384x16384 ~ 268M px, which would
+    stall an executor task for minutes)."""
+    import pytest
+
+    from docvision_spark.kernel.image_codec import ImageDecodeError
+    from docvision_spark.kernel.vp8l_codec import VP8L_MAX_PIXELS, vp8l_decode
+
+    hdr = 16383 | (16383 << 14) | (0 << 28) | (0 << 29)  # 16384x16384
+    body = b"\x2f" + hdr.to_bytes(4, "little") + b"\x00" * 16
+    assert 16384 * 16384 > VP8L_MAX_PIXELS
+    with pytest.raises(ImageDecodeError, match="pixel budget"):
+        vp8l_decode(body)
