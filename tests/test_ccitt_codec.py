@@ -1,0 +1,128 @@
+"""CCITT G4 (ITU-T T.6) codec tests: spec-value pins, roundtrips, fuzz
+totality, malformed-stream guards."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docvision_spark.kernel.ccitt_codec import (
+    _BLACK_CODES, _EXT_MAKEUP, _MODE_CODES, _WHITE_CODES, CcittError,
+    g4_decode, g4_encode)
+
+
+def test_spec_pinned_code_values():
+    """The canonical T.4 values printed in the published recommendation
+    (and in every secondary source): a transcription slip in these would
+    mean the whole table was mis-copied."""
+    assert _WHITE_CODES[0] == "00110101"
+    assert _WHITE_CODES[1] == "000111"
+    assert _WHITE_CODES[63] == "00110100"
+    assert _WHITE_CODES[64] == "11011"
+    assert _WHITE_CODES[1728] == "010011011"
+    assert _BLACK_CODES[0] == "0000110111"
+    assert _BLACK_CODES[1] == "010"
+    assert _BLACK_CODES[2] == "11"
+    assert _BLACK_CODES[3] == "10"
+    assert _BLACK_CODES[63] == "000001100111"
+    assert _BLACK_CODES[64] == "0000001111"
+    assert _EXT_MAKEUP[1792] == "00000001000"
+    assert _EXT_MAKEUP[2560] == "000000011111"
+    assert _MODE_CODES["P"] == "0001" and _MODE_CODES["H"] == "001"
+    assert _MODE_CODES["V0"] == "1"
+
+
+def test_code_tables_are_prefix_free():
+    """Within each decode alphabet no code may be a prefix of another —
+    a transcription slip usually breaks this property."""
+    for name, codes in (("white", {**_WHITE_CODES, **_EXT_MAKEUP}),
+                        ("black", {**_BLACK_CODES, **_EXT_MAKEUP})):
+        vals = sorted(codes.values(), key=len)
+        for i, a in enumerate(vals):
+            for b in vals[i + 1:]:
+                assert not b.startswith(a), (name, a, b)
+        assert len(set(vals)) == len(vals), name
+
+
+def test_all_white_and_all_black_pages():
+    for fill in (0, 1):
+        bm = np.full((5, 200), fill, dtype=np.uint8)
+        assert np.array_equal(g4_decode(g4_encode(bm), 200, rows=5), bm)
+
+
+def test_text_like_page_roundtrip():
+    """A page with text-like stripes + random blocks (exercises all three
+    modes: long runs -> horizontal MH codes incl. makeups, small jitters
+    -> vertical, vanishing runs -> pass)."""
+    rng = np.random.default_rng(7)
+    bm = np.zeros((64, 400), dtype=np.uint8)
+    for y in range(8, 60, 9):  # text lines
+        bm[y:y + 4, 20:380] = 1
+        bm[y:y + 4, rng.integers(20, 380, 12)] = 0  # letter gaps
+    bm[30:40, 4:12] = 1  # margin mark
+    enc = g4_encode(bm)
+    assert np.array_equal(g4_decode(enc, 400, rows=64), bm)
+    # decode without rows runs to EOFB and yields the same bitmap
+    assert np.array_equal(g4_decode(enc, 400), bm)
+
+
+def test_byte_align_roundtrip():
+    rng = np.random.default_rng(11)
+    bm = (rng.random((9, 123)) < 0.3).astype(np.uint8)
+    enc = g4_encode(bm, byte_align=True)
+    assert np.array_equal(g4_decode(enc, 123, rows=9, byte_align=True), bm)
+
+
+def test_long_runs_use_makeups():
+    """Rows wider than 2624 px force extended-makeup chaining in both
+    encoder and decoder."""
+    bm = np.zeros((2, 6000), dtype=np.uint8)
+    bm[0, 5000:] = 1
+    bm[1, :3000] = 1
+    assert np.array_equal(g4_decode(g4_encode(bm), 6000, rows=2), bm)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 80), st.integers(1, 40),
+       st.floats(0.0, 1.0))
+def test_roundtrip_fuzz(seed, w, h, density):
+    rng = np.random.default_rng(seed)
+    bm = (rng.random((h, w)) < density).astype(np.uint8)
+    assert np.array_equal(g4_decode(g4_encode(bm), w, rows=h), bm)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=64), st.integers(1, 64))
+def test_decode_totality(data, columns):
+    """Arbitrary bytes either decode or raise CcittError — never hang,
+    never raise a foreign exception."""
+    try:
+        out = g4_decode(data, columns, rows=16)
+        assert out.shape[1] == columns
+    except CcittError:
+        pass
+
+
+def test_pixel_budget():
+    with pytest.raises(CcittError, match="pixel budget"):
+        g4_decode(b"\x00" * 8, 100000, rows=100000)
+
+
+def test_decoder_matches_handwoven_stream():
+    """A hand-assembled T.6 stream decoded against its spec semantics
+    (independent of our encoder): row0 all white via horizontal
+    (white 60 makeup-free? no — white 60 terminating + black 0),
+    row1 V0-copies it."""
+    # columns=60. Row 0: H mode, white run 60, black run 0 -> all white.
+    #   001 + white60(01001011) + black0(0000110111)
+    # a0=60 -> row done. Row 1: b1=60 (no transitions), V0 -> a1=60, done.
+    #   1
+    # EOFB.
+    bits = ("001" + "01001011" + "0000110111" + "1"
+            + "000000000001" + "000000000001")
+    pad = (-len(bits)) % 8
+    data = int(bits + "0" * pad, 2).to_bytes((len(bits) + pad) // 8, "big")
+    out = g4_decode(data, 60)
+    assert out.shape == (2, 60) and not out.any()
