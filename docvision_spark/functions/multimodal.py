@@ -265,6 +265,28 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             duration_s=f["duration_s"],
                             mean_luma=f["mean_luma"], motion=f["motion"],
                         )
+                    elif payload[:5] == b"%PDF-":
+                        # scanned-document PDF: the embedded CCITT G4
+                        # raster pixel-decodes via kernel/ccitt_codec ->
+                        # full dims/luma/hash features (the reference
+                        # sends these pages to fitz+OCR,
+                        # processing/image.py:62-108)
+                        from docvision_spark.kernel.pdf_text import \
+                            pdf_image_xobjects
+                        imgs = pdf_image_xobjects(payload)
+                        if not imgs:
+                            raise ValueError(
+                                "pdf: no decodable raster images")
+                        g = imgs[0]
+                        rgb = np.stack([g, g, g], axis=-1)
+                        mean_l, std_l = luma_stats(rgb)
+                        row.update(
+                            kind="image", format="pdf-g4",
+                            width=g.shape[1], height=g.shape[0],
+                            n_frames=len(imgs), duration_s=0.0,
+                            mean_luma=mean_l, std_luma=std_l,
+                            ahash=ahash64(rgb), dhash=dhash64(rgb),
+                        )
                     elif (payload[:4] == b"RIFF"
                           and payload[8:12] == b"WEBP"):
                         # WebP: lossless (VP8L) pixel-decodes via the
@@ -435,6 +457,18 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     kind, payload = "video", encode_mp4_stub(
                         mid, duration_s=1.0 + (mid % 7) / 2,
                         width=320 + 16 * (mid % 5), height=180 + 12 * (mid % 3))
+                elif mid % 23 == 6:
+                    # scanned-page PDF: real CCITT G4 raster inside a
+                    # minimal PDF shell; near-dup twins planted within the
+                    # slice (mid % 17 == 1 re-scans the previous scanned
+                    # id, mid-23, with a few noise pixels) so G4 rows
+                    # join the m02 perceptual near-dup pool
+                    from docvision_spark.corpus import make_scanned_pdf
+                    kind = "image"
+                    sseed, snoise = ((mid - 23, 6)
+                                     if mid % 17 == 1 and mid >= 23
+                                     else (mid, 0))
+                    payload = make_scanned_pdf(sseed, noise=snoise)
                 elif mid % 23 == 5:
                     kind = "image"
                     if mid % 2:

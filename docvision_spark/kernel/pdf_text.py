@@ -661,6 +661,63 @@ def _parse_objects(payload: bytes) -> tuple[dict[int, bytes], _Crypt | None]:
     return objs, crypt
 
 
+def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
+    """Decoded grayscale (H, W) uint8 arrays (255 = paper, 0 = ink) of the
+    document's embedded raster image XObjects.
+
+    CCITT G4 (/CCITTFaxDecode with /K < 0) streams pixel-decode via
+    kernel/ccitt_codec — the dominant encoding of scanned-document PDFs;
+    the reference rasterizes these pages via fitz and OCRs them
+    (reference processing/image.py:62-108), here the bitmap itself feeds
+    the media feature path. G3 (/K >= 0), JBIG2, DCT and JPX rasters are
+    skipped (their docs keep typed error/partial semantics elsewhere).
+    Ink is reported as gray 0 regardless of /BlackIs1 — that flag governs
+    the written bit values, not the coding-domain black runs, and feature
+    extraction wants ink. Raises PdfEncryptedError for locked docs, like
+    parse_pdf."""
+    import numpy as np
+
+    from docvision_spark.kernel import ccitt_codec
+
+    objs, crypt = _parse_objects(payload)
+    out = []
+    for oid in sorted(objs):
+        if len(out) >= max_images:
+            break
+        body = objs[oid]
+        sm = _STREAM_RE.search(body)
+        if not sm:
+            continue
+        d = body[:sm.start()]
+        if b"/Image" not in d or b"/CCITTFaxDecode" not in d:
+            continue
+
+        def _i(key: bytes, dflt: int) -> int:
+            m = re.search(rb"/" + key + rb"\s+(-?\d+)", d)
+            return int(m.group(1)) if m else dflt
+
+        w, h, k = _i(b"Width", 0), _i(b"Height", 0), _i(b"K", 0)
+        cols = _i(b"Columns", 1728)
+        if k >= 0 or w <= 0 or h <= 0 or cols <= 0:
+            continue
+        balign = re.search(rb"/EncodedByteAlign\s+true", d) is not None
+        data = sm.group(1)
+        if crypt is not None:
+            try:
+                data = crypt.decrypt(oid, data)
+            except PdfEncryptedError:
+                raise
+            except ValueError:
+                continue  # per-stream pad corruption: skip this image
+        try:
+            bm = ccitt_codec.g4_decode(data, cols, rows=h,
+                                       byte_align=balign)
+        except ccitt_codec.CcittError:
+            continue  # corrupt raster degrades like a corrupt text stream
+        out.append(np.where(bm != 0, 0, 255).astype(np.uint8))
+    return out
+
+
 _TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b|/Encoding\s*/Identity-[HV]\b")
 
 

@@ -627,3 +627,30 @@ def test_media_features_int64_hash_precision_partition_invariant(spark):
         if ref is None:
             ref = got
         assert got == ref, "features must not depend on partitioning"
+
+
+@pytest.mark.spark
+def test_multimodal_scanned_pdf_features(spark):
+    """Scanned-PDF media rows (CCITT G4 raster in a PDF shell) decode to
+    real dims/luma/hashes with format pdf-g4; a noisy re-scan twin stays
+    within dhash hamming distance of its base so G4 rows join the m02
+    near-dup pool."""
+    from docvision_spark.corpus import make_scanned_pdf
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features)
+
+    rows = [
+        (1, "image", make_scanned_pdf(29)),
+        (2, "image", make_scanned_pdf(29, noise=6)),   # re-scan twin
+        (3, "image", make_scanned_pdf(30)),
+        (4, "image", b"%PDF-1.4\nno images here\n%%EOF"),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    assert out[1]["format"] == "pdf-g4" and out[1]["error"] is None
+    assert out[1]["width"] == 200 and out[1]["height"] == 260
+    assert out[1]["mean_luma"] is not None and out[1]["dhash"] is not None
+    ham = bin(out[1]["dhash"] ^ out[2]["dhash"]).count("1")
+    assert ham <= 6, ham
+    assert bin(out[1]["dhash"] ^ out[3]["dhash"]).count("1") > 6
+    assert out[4]["error"] and "no decodable raster" in out[4]["error"]

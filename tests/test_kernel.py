@@ -462,7 +462,7 @@ def test_pdf_filter_roundtrips():
     # the corpus selector itself must agree with the kernel for many urls
     for i in range(60):
         filt, enc = _pdf_stream_filter(f"http://h{i}.test/x", data)
-        if "CCITT" in filt:
+        if "JBIG2" in filt:
             continue
         assert pdf_text._load_stream(_stream_body(filt, enc)) == data, filt
 
@@ -504,24 +504,24 @@ def test_pdf_unsupported_filter_typed_error():
     import random
 
     from docvision_spark.corpus import _pdf_stream_filter, make_pdf
-    ccitt_url = flate_url = None
+    jbig_url = flate_url = None
     for i in range(500):
         url = f"http://filters{i}.example.com/doc"
         filt, _ = _pdf_stream_filter(url, b"x")
-        if "CCITT" in filt and ccitt_url is None:
-            ccitt_url = url
+        if "JBIG2" in filt and jbig_url is None:
+            jbig_url = url
         elif "LZW" in filt and flate_url is None:
             flate_url = url
-        if ccitt_url and flate_url:
+        if jbig_url and flate_url:
             break
-    assert ccitt_url and flate_url
+    assert jbig_url and flate_url
     # the filter only applies to rng-compressed streams; scan seeds for one
     seed = next(s for s in range(50)
                 if __import__("random").Random(s).randint(1, 3) >= 0
                 and (lambda r: (r.randint(1, 3), r.random())[1] < 0.5)(
                     __import__("random").Random(s)))
-    bad = make_pdf(ccitt_url, random.Random(seed), "en")
-    r = extract(ccitt_url, bad)
+    bad = make_pdf(jbig_url, random.Random(seed), "en")
+    r = extract(jbig_url, bad)
     assert r.error == "pdf_unsupported_filter" and r.processing_mode == "pdf"
     good = make_pdf(flate_url, random.Random(seed), "en")
     r2 = extract(flate_url, good)
@@ -568,3 +568,39 @@ def test_entity_whitespace_policy_is_character_based():
     assert ENTITIES["NewLine"] == "\n" and ENTITIES["Tab"] == "\t"
     assert ENTITIES["ZeroWidthSpace"] == "​"  # not a space separator
     assert ENTITIES["amp"] == "&"
+
+
+def test_scanned_pdf_slice_extracts_and_raster_decodes():
+    """Corpus v9 scanned-page slice: the doc extracts its text normally
+    (the G4 image XObject never enters the content-stream path) AND the
+    raster pixel-decodes bit-exactly via pdf_image_xobjects — including
+    under encryption and /EncodedByteAlign."""
+    import random
+
+    import numpy as np
+
+    from docvision_spark.corpus import (_scan_bitmap, gen_urls, make_pdf,
+                                        url_seed)
+    from docvision_spark.kernel.pdf_text import pdf_image_xobjects
+
+    scan_urls = [u for u in gen_urls(4000)
+                 if 97 <= url_seed("filter:" + u) % 100 < 99][:3]
+    assert scan_urls
+    for url in scan_urls:
+        for kind in ("none", "aes"):
+            pdf = make_pdf(url, random.Random(2), "en", force_encrypt=kind)
+            imgs = pdf_image_xobjects(pdf)
+            assert len(imgs) == 1, (url, kind)
+            want = _scan_bitmap(url_seed("scan:" + url))
+            got = imgs[0]
+            assert got.shape == want.shape
+            # bit-exact: ink (1) -> gray 0, paper -> 255
+            assert np.array_equal(got == 0, want == 1), (url, kind)
+            r = extract(url, pdf)
+            assert r.error is None and len(r.text) > 100, (url, kind)
+    # a pure-raster doc (no text layer) has no extractable text: honest
+    # pdf_no_pages, never a crash — the reference would OCR it
+    from docvision_spark.corpus import make_scanned_pdf
+    r = extract("u", make_scanned_pdf(7))
+    assert r.error == "pdf_no_pages"
+    assert len(pdf_image_xobjects(make_scanned_pdf(7))) == 1
