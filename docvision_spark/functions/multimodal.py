@@ -123,6 +123,10 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
         from docvision_spark.kernel.vp8l_codec import vp8l_encode
         # lossless VP8L; alternate the subtract-green transform by seed
         return vp8l_encode(img, subtract_green=bool(seed % 2))
+    if fmt == "webp-lossy":
+        from docvision_spark.kernel.vp8_codec import webp_encode_lossy
+        # real VP8 intra keyframe; vary quantizer by seed
+        return webp_encode_lossy(img, qi=16 + 8 * (seed % 3))
     raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
 
 
@@ -289,10 +293,11 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         )
                     elif (payload[:4] == b"RIFF"
                           and payload[8:12] == b"WEBP"):
-                        # WebP: lossless (VP8L) pixel-decodes via the
-                        # from-scratch codec -> full features; lossy VP8
-                        # stays a declared header-only partial (real dims,
-                        # NULL luma/hashes)
+                        # WebP: both families pixel-decode via the
+                        # from-scratch codecs (VP8L lossless; VP8 lossy
+                        # intra keyframe) -> full features. A payload
+                        # whose bitstream fails to decode keeps its
+                        # header dims and gets a typed error.
                         from docvision_spark.kernel.image_codec import \
                             webp_info
                         wi = webp_info(payload)
@@ -301,10 +306,12 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             width=wi["width"], height=wi["height"],
                             n_frames=1, duration_s=0.0,
                         )
-                        if wi["format"] == "vp8-lossless":
+                        rgb = None
+                        if wi["format"] in ("vp8-lossless", "vp8-lossy"):
                             from docvision_spark.kernel.vp8l_codec import \
                                 webp_decode
                             rgb = webp_decode(payload)
+                        if rgb is not None:
                             mean_l, std_l = luma_stats(rgb)
                             row.update(mean_luma=mean_l, std_luma=std_l,
                                        ahash=ahash64(rgb), dhash=dhash64(rgb))
@@ -471,19 +478,12 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     payload = make_scanned_pdf(sseed, noise=snoise)
                 elif mid % 23 == 5:
                     kind = "image"
-                    if mid % 2:
-                        # REAL lossless WebP (VP8L pixels decode; rows get
-                        # full luma/aHash/dHash and join m02 near-dup)
-                        payload = make_synthetic_image(
-                            mid, 64 + 8 * (mid % 6), 48 + 4 * (mid % 5),
-                            fmt="webp")
-                    else:
-                        # lossy VP8 stays a header-only declared partial
-                        from docvision_spark.kernel.image_codec import \
-                            encode_webp_stub
-                        payload = encode_webp_stub(
-                            mid, width=64 + 8 * (mid % 6),
-                            height=48 + 4 * (mid % 5), lossless=False)
+                    # both WebP families carry REAL pixels now: lossless
+                    # VP8L and lossy VP8 (intra keyframe) both decode to
+                    # full luma/aHash/dHash feature rows
+                    payload = make_synthetic_image(
+                        mid, 64 + 8 * (mid % 6), 48 + 4 * (mid % 5),
+                        fmt="webp" if mid % 2 else "webp-lossy")
                 else:
                     kind = "image"
                     seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)

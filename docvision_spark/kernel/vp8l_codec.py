@@ -721,9 +721,9 @@ def _encode_literal_body(bw: _BitWriter, px: np.ndarray,
 
 
 def webp_decode(data: bytes) -> np.ndarray:
-    """Decode a WebP container: VP8L -> (H, W, 3) uint8 RGB (alpha
-    dropped, matching the other decoders); VP8 lossy remains a declared
-    header-only partial."""
+    """Decode a WebP container to (H, W, 3) uint8 RGB (alpha dropped,
+    matching the other decoders): VP8L via this module's lossless
+    decoder, lossy VP8 via kernel/vp8_codec's intra-keyframe decoder."""
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ImageDecodeError("webp: bad RIFF header")
     pos = 12
@@ -735,6 +735,7 @@ def webp_decode(data: bytes) -> np.ndarray:
         if ctype == b"VP8L":
             return vp8l_decode(body)[:, :, :3]
         if ctype == b"VP8 ":
-            raise ImageDecodeError("webp: vp8 lossy pixel decode not implemented")
+            from docvision_spark.kernel.vp8_codec import vp8_decode
+            return vp8_decode(body)
         pos += 8 + csize + (csize & 1)
     raise ImageDecodeError("webp: no decodable image chunk")

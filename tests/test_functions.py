@@ -451,16 +451,20 @@ def test_multimodal_plumbing(spark):
 
 @pytest.mark.spark
 def test_multimodal_webp_lossless_vs_lossy(spark):
-    """Lossless WebP rows pixel-decode (real luma/hashes -> they join m02
-    near-dup); lossy VP8 rows keep real dims but NULL pixel features (the
-    declared header-only partial)."""
+    """BOTH WebP families pixel-decode to full feature rows now (VP8L
+    lossless, VP8 lossy intra keyframe); the two encodings of the same
+    source image land within near-dup hamming distance of each other. A
+    junk VP8 bitstream (the old header-walk stub) still decodes
+    deterministically — an arithmetic decoder accepts any bit string —
+    so stub rows get (garbage but stable) features, never a crash."""
     from docvision_spark.functions.multimodal import (
         MEDIA_SCHEMA, extract_media_features, make_synthetic_image)
     from docvision_spark.kernel.image_codec import encode_webp_stub
 
     rows = [
         (1, "image", make_synthetic_image(1, 72, 48, fmt="webp")),
-        (2, "image", encode_webp_stub(2, width=72, height=48, lossless=False)),
+        (2, "image", make_synthetic_image(1, 72, 48, fmt="webp-lossy")),
+        (3, "image", encode_webp_stub(3, width=72, height=48, lossless=False)),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in extract_media_features(df).collect()}
@@ -468,7 +472,12 @@ def test_multimodal_webp_lossless_vs_lossy(spark):
     assert out[1]["dhash"] is not None and out[1]["ahash"] is not None
     assert out[1]["mean_luma"] is not None
     assert out[2]["format"] == "vp8-lossy" and out[2]["width"] == 72
-    assert out[2]["dhash"] is None and out[2]["error"] is None
+    assert out[2]["dhash"] is not None and out[2]["error"] is None
+    assert abs(out[2]["mean_luma"] - out[1]["mean_luma"]) < 8
+    ham = bin(out[1]["dhash"] ^ out[2]["dhash"]).count("1")
+    assert ham <= 8, ham
+    assert out[3]["format"] == "vp8-lossy" and out[3]["width"] == 72
+    assert out[3]["error"] is None and out[3]["dhash"] is not None
 
 
 @pytest.mark.spark
