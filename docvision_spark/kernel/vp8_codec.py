@@ -1124,10 +1124,13 @@ def _put_token(be, probs, tok, _unused, skip_eob=False):
         be.put(b, probs[i0 >> 1])
 
 
-def vp8_encode(rgb: np.ndarray, qi: int = 24) -> bytes:
+def vp8_encode(rgb: np.ndarray, qi: int = 24, filter_level: int = 0) -> bytes:
     """Encode an (H, W, 3) uint8 RGB image as one VP8 intra keyframe
-    ('VP8 ' chunk body). 16x16 modes only (DC/V/H/TM by SAD), filter
-    level 0, single token partition, no segmentation."""
+    ('VP8 ' chunk body). 16x16 modes only (DC/V/H/TM by SAD), single
+    token partition, no segmentation. filter_level > 0 turns on the
+    decoder's deblocking pass; in-frame intra prediction always uses
+    UNFILTERED reconstruction (per spec), so the encoder needs no filter
+    tracking — the filter only smooths the displayed output."""
     rgb = np.asarray(rgb, dtype=np.int64)
     ih, iw = rgb.shape[:2]
     if iw >= 1 << 14 or ih >= 1 << 14:
@@ -1179,7 +1182,7 @@ def vp8_encode(rgb: np.ndarray, qi: int = 24) -> bytes:
     be_modes.put(0, 128)  # clamping
     be_modes.put(0, 128)  # segmentation disabled
     be_modes.put(0, 128)  # filter type
-    be_modes.put_literal(0, 6)   # filter level 0
+    be_modes.put_literal(max(0, min(63, filter_level)), 6)
     be_modes.put_literal(0, 3)   # sharpness
     be_modes.put(0, 128)  # lf adj disabled
     be_modes.put_literal(0, 2)   # 1 token partition
@@ -1313,6 +1316,8 @@ def vp8_encode(rgb: np.ndarray, qi: int = 24) -> bytes:
 
     part1 = be_modes.tobytes()
     part2 = be_tok.tobytes()
+    if len(part1) >= 1 << 19:
+        raise ValueError("vp8: first partition exceeds 19-bit size field")
     tag = (0 | (0 << 1) | (1 << 4) | (len(part1) << 5))
     head = bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
     head += b"\x9d\x01\x2a"
