@@ -214,3 +214,81 @@ def test_simple_and_mbedge_filters_respect_masks():
     _mbedge_filter(mild, 8, 1, 2, 9, 40)
     step = abs(int(mild[8]) - int(mild[7]))
     assert step < 12  # smoothed across the edge
+
+
+def test_bpred_segmentation_stream_decodes():
+    """Hand-rolled bitstream (written with BoolEncoder directly, NOT via
+    vp8_encode) exercising decoder paths our encoder never emits:
+    segmentation syntax with a transmitted map, mb_no_coeff_skip, a
+    B_PRED macroblock with 16 coded 4x4 modes, and the no-Y2 (plane 3)
+    token schedule via explicit EOB tokens."""
+    import struct
+
+    from docvision_spark.kernel.vp8_codec import (
+        B_PRED, BMODE_TREE, COEF_UPDATE_PROB, KF_BMODE_PROBS,
+        KF_UV_MODE_PROBS, KF_YMODE_PROBS, KF_YMODE_TREE, UV_MODE_TREE)
+
+    be = BoolEncoder()
+    be.put(0, 128)  # color space
+    be.put(0, 128)  # clamping
+    # segmentation: enabled, update map, update data (absolute q)
+    be.put(1, 128)
+    be.put(1, 128)  # update_mb_segmentation_map
+    be.put(1, 128)  # update_segment_feature_data
+    be.put(1, 128)  # abs values
+    be.put(1, 128)
+    be.put_signed(40, 7)  # segment 0 quantizer = 40
+    for _ in range(3):
+        be.put(0, 128)    # other segment q flags
+    for _ in range(4):
+        be.put(0, 128)    # lf deltas
+    for i, p in enumerate((250, 128, 128)):
+        be.put(1, 128)
+        be.put_literal(p, 8)  # segment tree probs
+    be.put(0, 128)            # filter type
+    be.put_literal(0, 6)      # filter level
+    be.put_literal(0, 3)      # sharpness
+    be.put(0, 128)            # lf adj
+    be.put_literal(0, 2)      # one token partition
+    be.put_literal(60, 7)     # yac qi (overridden by segment abs q)
+    for _ in range(5):
+        be.put(0, 128)        # quant deltas
+    be.put(1, 128)            # refresh entropy
+    for _ in range(4 * 8 * 3 * 11):
+        be.put(0, COEF_UPDATE_PROB)
+    be.put(1, 128)            # mb_no_coeff_skip ENABLED
+    be.put_literal(200, 8)    # prob_skip_false
+    # one macroblock: segment id 0 (tree: bit0 with prob 250, bit with
+    # prob 128), not skipped, B_PRED with all 10 modes appearing, uv DC
+    be.put(0, 250)
+    be.put(0, 128)            # segment id -> 0
+    be.put(0, 200)            # mb_skip = 0 -> tokens ARE coded
+    be.put_tree(KF_YMODE_TREE, KF_YMODE_PROBS, B_PRED)
+    modes = list(range(10)) + [0, 1, 2, 3, 4, 5]
+    above = [0, 0, 0, 0]
+    left = [0, 0, 0, 0]
+    for sb, m in enumerate(modes):
+        r, c = sb // 4, sb % 4
+        am = above[c] if r == 0 else modes[sb - 4]
+        lm = left[r] if c == 0 else modes[sb - 1]
+        be.put_tree(BMODE_TREE, KF_BMODE_PROBS[am][lm], m)
+    be.put_tree(UV_MODE_TREE, KF_UV_MODE_PROBS, 0)
+    part1 = be.tobytes()
+
+    # token partition: 24 blocks (16 Y plane-3 + 8 chroma), EOB each.
+    # EOB is branch 0 at the tree root: one bool per block at the
+    # (neutral) coefficient probabilities.
+    bt = BoolEncoder()
+    for _ in range(24):
+        bt.put(0, 128)
+    part2 = bt.tobytes()
+
+    tag = (0 | (1 << 4) | (len(part1) << 5))
+    data = (bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+            + b"\x9d\x01\x2a" + struct.pack("<H", 16)
+            + struct.pack("<H", 16) + part1 + part2)
+    out = vp8_decode(data)
+    assert out.shape == (16, 16, 3)
+    assert np.array_equal(out, vp8_decode(data))
+    # pure prediction from 127/129 edge defaults: mid-gray-ish output
+    assert 100 < out.mean() < 160
