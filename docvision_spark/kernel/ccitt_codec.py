@@ -16,15 +16,19 @@ makeups) and fuzzes encode->decode totality; the encoder never emits a
 code the decoder's tables don't contain, so a transcription slip in a
 rare code would surface as a roundtrip mismatch on the fuzzed bitmaps.
 
-Scope: K < 0 (pure G4/MMR) only. G3 1-D/mixed (K >= 0) raises — those
-streams stay typed `pdf_unsupported_filter` error rows, like JBIG2/JPX.
+Scope: K < 0 (pure G4/MMR — g4_decode) and the full Group 3 surface
+(g3_decode: K == 0 pure 1-D MH, K > 0 mixed 1-D/2-D with per-line tag
+bits; EOLs optional per PDF's /EndOfLine default, EOL-pair RTC ends the
+image). JBIG2/JPX rasters stay typed `pdf_unsupported_filter` error
+rows.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["g4_decode", "g4_encode", "CcittError"]
+__all__ = ["g3_decode", "g3_encode", "g4_decode", "g4_encode",
+           "CcittError"]
 
 
 class CcittError(ValueError):
@@ -207,6 +211,106 @@ def _read_mode(br: _MsbReader) -> str:
     raise CcittError("bad mode code")
 
 
+def _decode_2d_row(br: _MsbReader, ref: list[int],
+                   columns: int) -> tuple[list[int], bool]:
+    """One 2-D MMR-coded row against reference line `ref`. Returns
+    (transitions, hit_eofb)."""
+    cur: list[int] = []
+    a0 = -1
+    color = 0  # 0 = white (a0 color)
+    while a0 < columns:
+        mode = _read_mode(br)
+        if mode == "EOFB-half":
+            if a0 != -1 or cur:
+                raise CcittError("EOFB mid-row")
+            # consume the second EOL half
+            rest = 0
+            for _ in range(len(_EOFB) // 2):
+                rest = (rest << 1) | br.read1()
+            if rest != 1:
+                raise CcittError("bad EOFB")
+            return cur, True
+        # locate b1: first changing element on the reference line to
+        # the right of a0 whose left-side color equals a0's color
+        # (even transition indices are white->black). Linear scan from
+        # a bisect start; transitions per row are short.
+        i = 0
+        n = len(ref)
+        while i < n and ref[i] <= a0:
+            i += 1
+        if (i & 1) != color:
+            i += 1
+        b1 = ref[i] if i < n else columns
+        b2 = ref[i + 1] if i + 1 < n else columns
+        if mode == "P":
+            a0 = b2
+        elif mode == "H":
+            a0s = a0 if a0 > 0 else 0
+            r1 = _read_run(br, _BLACK_DEC if color else _WHITE_DEC,
+                           "black run" if color else "white run")
+            r2 = _read_run(br, _WHITE_DEC if color else _BLACK_DEC,
+                           "white run" if color else "black run")
+            a1 = a0s + r1
+            a2 = a1 + r2
+            if a2 > columns or a1 > columns:
+                raise CcittError("horizontal run past row end")
+            cur.append(a1)
+            cur.append(a2)
+            if len(cur) > columns + 2:
+                # more transitions than pixels: malformed stream that
+                # would otherwise spin without advancing (r1 == r2 == 0)
+                raise CcittError("transition overflow")
+            a0 = a2
+        else:  # vertical
+            delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                     "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+            a1 = b1 + delta
+            if a1 < 0 or a1 > columns:
+                raise CcittError("vertical mode past row bounds")
+            if a1 <= a0 and a0 >= 0:
+                # changing elements must move right (T.6 §2.2.2);
+                # malformed data would otherwise loop forever
+                raise CcittError("non-monotonic transition")
+            cur.append(a1)
+            a0 = a1
+            color ^= 1
+    return cur, False
+
+
+def _decode_1d_row(br: _MsbReader, columns: int) -> list[int]:
+    """One 1-D MH-coded row (T.4 §4.1): alternating white/black run
+    lengths starting with a (possibly zero) white run, totalling exactly
+    `columns`."""
+    cur: list[int] = []
+    pos = 0
+    color = 0
+    while pos < columns:
+        run = _read_run(br, _BLACK_DEC if color else _WHITE_DEC,
+                        "black run" if color else "white run")
+        pos += run
+        if pos > columns:
+            raise CcittError("1-D run past row end")
+        cur.append(pos)
+        color ^= 1
+        if len(cur) > columns + 2:
+            raise CcittError("transition overflow")
+    return cur
+
+
+def _rows_to_bitmap(out_rows: list[list[int]], columns: int) -> np.ndarray:
+    if not out_rows:
+        return np.zeros((0, columns), dtype=np.uint8)
+    # transitions -> pixels: +1/-1 deltas at alternating positions, cumsum
+    h = len(out_rows)
+    img = np.zeros((h, columns + 1), dtype=np.int8)
+    for y, tr in enumerate(out_rows):
+        for k, x in enumerate(tr):
+            if x < columns:
+                img[y, x] += 1 if (k & 1) == 0 else -1
+    return np.cumsum(img[:, :columns], axis=1, dtype=np.int32) \
+             .astype(np.uint8)
+
+
 def g4_decode(data: bytes, columns: int, rows: int | None = None,
               byte_align: bool = False,
               max_pixels: int = 64 * 1024 * 1024) -> np.ndarray:
@@ -233,82 +337,79 @@ def g4_decode(data: bytes, columns: int, rows: int | None = None,
             raise CcittError("exceeds pixel budget")
         if byte_align:
             br.align()
-        cur: list[int] = []
-        a0 = -1
-        color = 0  # 0 = white (a0 color)
-        eofb = False
-        while a0 < columns:
-            mode = _read_mode(br)
-            if mode == "EOFB-half":
-                if a0 != -1 or cur:
-                    raise CcittError("EOFB mid-row")
-                # consume the second EOL half
-                rest = 0
-                for _ in range(len(_EOFB) // 2):
-                    rest = (rest << 1) | br.read1()
-                if rest != 1:
-                    raise CcittError("bad EOFB")
-                eofb = True
-                break
-            # locate b1: first changing element on the reference line to
-            # the right of a0 whose left-side color equals a0's color
-            # (even transition indices are white->black). Linear scan from
-            # a bisect start; transitions per row are short.
-            i = 0
-            n = len(ref)
-            while i < n and ref[i] <= a0:
-                i += 1
-            if (i & 1) != color:
-                i += 1
-            b1 = ref[i] if i < n else columns
-            b2 = ref[i + 1] if i + 1 < n else columns
-            if mode == "P":
-                a0 = b2
-            elif mode == "H":
-                a0s = a0 if a0 > 0 else 0
-                r1 = _read_run(br, _BLACK_DEC if color else _WHITE_DEC,
-                               "black run" if color else "white run")
-                r2 = _read_run(br, _WHITE_DEC if color else _BLACK_DEC,
-                               "white run" if color else "black run")
-                a1 = a0s + r1
-                a2 = a1 + r2
-                if a2 > columns or a1 > columns:
-                    raise CcittError("horizontal run past row end")
-                cur.append(a1)
-                cur.append(a2)
-                if len(cur) > columns + 2:
-                    # more transitions than pixels: malformed stream that
-                    # would otherwise spin without advancing (r1 == r2 == 0)
-                    raise CcittError("transition overflow")
-                a0 = a2
-            else:  # vertical
-                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                a1 = b1 + delta
-                if a1 < 0 or a1 > columns:
-                    raise CcittError("vertical mode past row bounds")
-                if a1 <= a0 and a0 >= 0:
-                    # changing elements must move right (T.6 §2.2.2);
-                    # malformed data would otherwise loop forever
-                    raise CcittError("non-monotonic transition")
-                cur.append(a1)
-                a0 = a1
-                color ^= 1
+        cur, eofb = _decode_2d_row(br, ref, columns)
         if eofb:
             break
         out_rows.append(cur)
         ref = cur + [columns, columns]
-    if not out_rows:
-        return np.zeros((0, columns), dtype=np.uint8)
-    # transitions -> pixels: +1/-1 deltas at alternating positions, cumsum
-    h = len(out_rows)
-    img = np.zeros((h, columns + 1), dtype=np.int8)
-    for y, tr in enumerate(out_rows):
-        for k, x in enumerate(tr):
-            if x < columns:
-                img[y, x] += 1 if (k & 1) == 0 else -1
-    return np.cumsum(img[:, :columns], axis=1, dtype=np.int32) \
-             .astype(np.uint8)
+    return _rows_to_bitmap(out_rows, columns)
+
+
+def _try_consume_eol(br: _MsbReader) -> bool:
+    """Consume one optional EOL (>= 11 zeros then a 1, incl. fill bits);
+    restore position and return False when the next bits aren't one."""
+    save = br.pos
+    zeros = 0
+    while zeros <= 72:
+        if br.pos >= br.nbits:
+            br.pos = save
+            return False
+        if br.read1():
+            if zeros >= 11:
+                return True
+            br.pos = save
+            return False
+        zeros += 1
+    br.pos = save
+    return False
+
+
+def g3_decode(data: bytes, columns: int, rows: int | None = None,
+              k: int = 0, byte_align: bool = False,
+              max_pixels: int = 64 * 1024 * 1024) -> np.ndarray:
+    """Decode a T.4 (Group 3) bitstream: pure 1-D MH when k == 0, mixed
+    1-D/2-D when k > 0 (each line carries a 1-bit coding-mode tag, after
+    an OPTIONAL EOL — PDF's /EndOfLine defaults to false, so EOLs are
+    consumed when present but never required, the same tolerance real
+    CCITTFaxDecode implementations apply). An EOL immediately followed
+    by another EOL is the return-to-control sequence and ends the
+    image."""
+    if columns <= 0:
+        raise CcittError("columns must be positive")
+    if k < 0:
+        return g4_decode(data, columns, rows=rows, byte_align=byte_align,
+                         max_pixels=max_pixels)
+    if rows is not None and rows * columns > max_pixels:
+        raise CcittError(f"{columns}x{rows} exceeds pixel budget")
+    br = _MsbReader(data)
+    ref: list[int] = [columns, columns]
+    out_rows: list[list[int]] = []
+    while rows is None or len(out_rows) < rows:
+        if rows is None and br.exhausted():
+            break
+        if (len(out_rows) + 1) * columns > max_pixels:
+            raise CcittError("exceeds pixel budget")
+        if byte_align:
+            br.align()
+        if _try_consume_eol(br):
+            if _try_consume_eol(br):  # RTC: EOL pair ends the image
+                while _try_consume_eol(br):
+                    pass
+                break
+            if rows is None and br.exhausted():
+                break
+        one_d = True
+        if k > 0:
+            one_d = br.read1() == 1
+        if one_d:
+            cur = _decode_1d_row(br, columns)
+        else:
+            cur, eofb = _decode_2d_row(br, ref, columns)
+            if eofb:
+                break
+        out_rows.append(cur)
+        ref = cur + [columns, columns]
+    return _rows_to_bitmap(out_rows, columns)
 
 
 # -- encoder (corpus planting + roundtrip fuzz) ----------------------------
@@ -396,4 +497,33 @@ def g4_encode(bitmap: np.ndarray, byte_align: bool = False) -> bytes:
                 ci += 2
         ref = cur + [w, w]
     wtr.write(_EOFB)
+    return wtr.tobytes()
+
+
+def g3_encode(bitmap: np.ndarray, k: int = 0,
+              end_of_line: bool = False) -> bytes:
+    """Encode an (H, W) 0/1 bitmap as a T.4 (Group 3) stream. Every line
+    is 1-D MH coded (for k > 0 each line carries the 1-bit tag declaring
+    it 1-D — a valid mixed stream that never uses its 2-D option);
+    `end_of_line` prefixes each line with an EOL, and k > 0 + EOL
+    streams put the tag right after the EOL per T.4."""
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    h, w = bm.shape
+    wtr = _MsbWriter()
+    for y in range(h):
+        if end_of_line:
+            wtr.write("000000000001")
+        if k > 0:
+            wtr.write("1")  # this line is 1-D coded
+        pos = 0
+        color = 0
+        for t in _transitions(bm[y]):
+            wtr.write(_run_bits(t - pos,
+                                _BLACK_CODES if color else _WHITE_CODES))
+            pos = t
+            color ^= 1
+        wtr.write(_run_bits(w - pos,
+                            _BLACK_CODES if color else _WHITE_CODES))
+    if end_of_line:
+        wtr.write("000000000001" * 2)  # RTC tail (abbreviated)
     return wtr.tobytes()

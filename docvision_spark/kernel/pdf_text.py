@@ -665,12 +665,13 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
     """Decoded grayscale (H, W) uint8 arrays (255 = paper, 0 = ink) of the
     document's embedded raster image XObjects.
 
-    CCITT G4 (/CCITTFaxDecode with /K < 0) streams pixel-decode via
-    kernel/ccitt_codec — the dominant encoding of scanned-document PDFs;
-    the reference rasterizes these pages via fitz and OCRs them
-    (reference processing/image.py:62-108), here the bitmap itself feeds
-    the media feature path. G3 (/K >= 0), JBIG2, DCT and JPX rasters are
-    skipped (their docs keep typed error/partial semantics elsewhere).
+    /CCITTFaxDecode streams pixel-decode via kernel/ccitt_codec across
+    the whole K surface (K < 0 pure G4 MMR — the dominant scanned-doc
+    encoding — plus K == 0 G3 1-D and K > 0 G3 mixed); the reference
+    rasterizes these pages via fitz and OCRs them (reference
+    processing/image.py:62-108), here the bitmap itself feeds the media
+    feature path. JBIG2, DCT and JPX rasters are skipped (their docs
+    keep typed error/partial semantics elsewhere).
     Ink is reported as gray 0 regardless of /BlackIs1 — that flag governs
     the written bit values, not the coding-domain black runs, and feature
     extraction wants ink. Raises PdfEncryptedError for locked docs, like
@@ -698,7 +699,7 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
 
         w, h, k = _i(b"Width", 0), _i(b"Height", 0), _i(b"K", 0)
         cols = _i(b"Columns", 1728)
-        if k >= 0 or w <= 0 or h <= 0 or cols <= 0:
+        if w <= 0 or h <= 0 or cols <= 0:
             continue
         balign = re.search(rb"/EncodedByteAlign\s+true", d) is not None
         data = sm.group(1)
@@ -710,7 +711,7 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
             except ValueError:
                 continue  # per-stream pad corruption: skip this image
         try:
-            bm = ccitt_codec.g4_decode(data, cols, rows=h,
+            bm = ccitt_codec.g3_decode(data, cols, rows=h, k=k,
                                        byte_align=balign)
         except ccitt_codec.CcittError:
             continue  # corrupt raster degrades like a corrupt text stream

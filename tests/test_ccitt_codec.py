@@ -126,3 +126,59 @@ def test_decoder_matches_handwoven_stream():
     data = int(bits + "0" * pad, 2).to_bytes((len(bits) + pad) // 8, "big")
     out = g4_decode(data, 60)
     assert out.shape == (2, 60) and not out.any()
+
+
+def test_g3_1d_and_mixed_roundtrips():
+    """Group 3: pure 1-D MH (k=0), mixed with tag bits (k>0), optional
+    EOLs + RTC tail, and the k<0 dispatch to G4."""
+    from docvision_spark.kernel.ccitt_codec import g3_decode, g3_encode
+
+    rng = np.random.default_rng(21)
+    bm = (rng.random((18, 210)) < 0.4).astype(np.uint8)
+    for k, eol in ((0, False), (0, True), (4, False), (4, True)):
+        enc = g3_encode(bm, k=k, end_of_line=eol)
+        assert np.array_equal(g3_decode(enc, 210, rows=18, k=k), bm), (k, eol)
+    # rows=None: EOL-pair RTC terminates cleanly
+    enc = g3_encode(bm, end_of_line=True)
+    assert np.array_equal(g3_decode(enc, 210), bm)
+    assert np.array_equal(g3_decode(g4_encode(bm), 210, rows=18, k=-1), bm)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 64), st.integers(1, 24),
+       st.integers(0, 1), st.booleans())
+def test_g3_roundtrip_fuzz(seed, w, h, kflag, eol):
+    from docvision_spark.kernel.ccitt_codec import g3_decode, g3_encode
+
+    rng = np.random.default_rng(seed)
+    bm = (rng.random((h, w)) < rng.random()).astype(np.uint8)
+    k = 4 if kflag else 0
+    enc = g3_encode(bm, k=k, end_of_line=eol)
+    assert np.array_equal(g3_decode(enc, w, rows=h, k=k), bm)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(min_size=0, max_size=48), st.integers(1, 48),
+       st.integers(0, 1))
+def test_g3_decode_totality(data, columns, kflag):
+    from docvision_spark.kernel.ccitt_codec import g3_decode
+
+    try:
+        out = g3_decode(data, columns, rows=12, k=4 if kflag else 0)
+        assert out.shape[1] == columns
+    except CcittError:
+        pass
+
+
+def test_g3_decoder_matches_handwoven_stream():
+    """Hand-assembled k=0 stream decoded against T.4 semantics,
+    independent of our encoder: row = white 3 (1000), black 2 (11),
+    white 55 (01011000) on columns=60."""
+    bits = "1000" + "11" + "01011000"
+    pad = (-len(bits)) % 8
+    data = int(bits + "0" * pad, 2).to_bytes((len(bits) + pad) // 8, "big")
+    from docvision_spark.kernel.ccitt_codec import g3_decode
+    out = g3_decode(data, 60, rows=1, k=0)
+    want = np.zeros((1, 60), dtype=np.uint8)
+    want[0, 3:5] = 1
+    assert np.array_equal(out, want)
