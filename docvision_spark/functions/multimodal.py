@@ -119,6 +119,14 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
         # vary compression by seed: none / PackBits / LZW / LZW+predictor
         comp = ("none", "packbits", "lzw", "lzw")[seed % 4]
         return encode_tiff(img, compression=comp, predictor=seed % 4 == 3)
+    if fmt == "tiff-bilevel":
+        from docvision_spark.kernel.tiff_codec import encode_tiff_bilevel
+        # scanned-fax family: luma-thresholded page, CCITT-compressed
+        luma = (77 * img[..., 0].astype(np.int32)
+                + 150 * img[..., 1] + 29 * img[..., 2]) >> 8
+        bm = (luma < 128).astype(np.uint8)
+        comp = ("g4", "g3", "g3-2d", "mh")[seed % 4]
+        return encode_tiff_bilevel(bm, compression=comp)
     if fmt == "webp":
         from docvision_spark.kernel.vp8l_codec import vp8l_encode
         # lossless VP8L; alternate the subtract-green transform by seed
@@ -492,6 +500,7 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     fmt = ("pnm" if mid % 11 == 0
                            else "gif" if mid % 13 == 3
                            else "tiff" if mid % 13 == 5
+                           else "tiff-bilevel" if mid % 13 == 7
                            else "jpeg" if mid % 7 in (2, 4) else "png")
                     payload = make_synthetic_image(seed, w, h, noise=noise, fmt=fmt)
                 out.append({"media_id": mid, "kind": kind, "payload": payload})

@@ -4,9 +4,11 @@ Supported subset (the common web/scan baseline): first IFD, 8-bit samples,
 grayscale (PhotometricInterpretation 0/1) and RGB (2), chunky planar
 config, strip layout, compressions None (1), LZW (5, MSB-first codes with
 the spec's early-change rule) and PackBits (32773), horizontal-differencing
-predictor (2), both byte orders (II/MM). Tiled files, 16-bit samples,
-palette color and JPEG-in-TIFF raise ImageDecodeError (typed error rows at
-the pipeline level, never a crash).
+predictor (2), both byte orders (II/MM); PLUS 1-bit bilevel strips — the
+scanned-fax family — uncompressed packed bits (1), CCITT Modified Huffman
+(2), G3 1-D/2-D per T4Options (3) and G4 MMR (4) via kernel/ccitt_codec.
+Tiled files, 16-bit samples, palette color and JPEG-in-TIFF raise
+ImageDecodeError (typed error rows at the pipeline level, never a crash).
 
 The encoder exists to build deterministic fixtures (and thumbnails) —
 single strip, little-endian, optional LZW/PackBits.
@@ -232,10 +234,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise ImageDecodeError("tiff: unreasonable dimensions")
     spp = one(277, 1)
     bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits):
-        raise ImageDecodeError("tiff: only 8-bit samples supported")
     comp = one(259, 1)
     photo = one(262, 1)
+    if bits == [1] and spp == 1:
+        return _decode_bilevel(data, tags, one, width, height, comp, photo)
+    if any(b != 8 for b in bits):
+        raise ImageDecodeError("tiff: only 8-bit samples supported")
     if one(284, 1) != 1:
         raise ImageDecodeError("tiff: planar config 2 unsupported")
     if 322 in tags or 323 in tags:
@@ -281,6 +285,63 @@ def decode_tiff(data: bytes) -> np.ndarray:
         g = 255 - arr[:, :, 0] if photo == 0 else arr[:, :, 0]
         return np.stack([g, g, g], axis=2)
     return np.ascontiguousarray(arr)
+
+
+def _decode_bilevel(data, tags, one, width, height, comp, photo):
+    """1-bit/sample strips: uncompressed packed bits (1), CCITT Modified
+    Huffman / 'CCITT RLE' (2 — 1-D MH with every row byte-aligned), G3
+    (3 — T4Options bit0 selects 1-D vs mixed 2-D), G4 (4 — pure MMR).
+    The scanned-fax family; decoded ink maps to gray 0 under the
+    dominant WhiteIsZero photometric (0), inverted for BlackIsZero."""
+    from docvision_spark.kernel.ccitt_codec import (CcittError, g3_decode,
+                                                    g4_decode)
+
+    if photo not in (0, 1):
+        raise ImageDecodeError("tiff: bilevel needs photometric 0/1")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ImageDecodeError("tiff: missing strip tables")
+    rows_per_strip = one(278, height)
+    t4opts = one(292, 0)
+    rows_list = []
+    row0 = 0
+    for off, cnt in zip(offsets, counts):
+        rows = min(rows_per_strip, height - row0)
+        chunk = data[off:off + cnt]
+        if len(chunk) < cnt:
+            raise ImageDecodeError("tiff: strip out of bounds")
+        try:
+            if comp == 1:
+                stride = (width + 7) // 8
+                if len(chunk) < rows * stride:
+                    raise ImageDecodeError("tiff: short bilevel strip")
+                packed = np.frombuffer(chunk[:rows * stride], dtype=np.uint8)
+                bm = np.unpackbits(packed.reshape(rows, stride),
+                                   axis=1)[:, :width]
+            elif comp == 2:
+                bm = g3_decode(chunk, width, rows=rows, k=0,
+                               byte_align=True)
+            elif comp == 3:
+                bm = g3_decode(chunk, width, rows=rows,
+                               k=4 if t4opts & 1 else 0)
+            elif comp == 4:
+                bm = g4_decode(chunk, width, rows=rows)
+            else:
+                raise ImageDecodeError(
+                    f"tiff: bilevel compression {comp} unsupported")
+        except CcittError as e:
+            raise ImageDecodeError(f"tiff: ccitt strip: {e}") from e
+        rows_list.append(bm)
+        row0 += rows
+    bm = np.concatenate(rows_list, axis=0)[:height]
+    # packed bits: 1 = black under WhiteIsZero (photo 0); CCITT decoders
+    # return coding-domain black as 1 as well
+    if photo == 0:
+        g = np.where(bm != 0, 0, 255).astype(np.uint8)
+    else:
+        g = np.where(bm != 0, 255, 0).astype(np.uint8)
+    return np.stack([g, g, g], axis=2)
 
 
 # --------------------------------------------------------------- encode ----
@@ -364,3 +425,56 @@ def encode_tiff(arr: np.ndarray, compression: str = "none",
 
 
 __all__ = ["decode_tiff", "encode_tiff"]
+
+
+def encode_tiff_bilevel(bitmap: np.ndarray,
+                        compression: str = "g4") -> bytes:
+    """(h, w) 0/1 bitmap (1 = black) -> little-endian single-strip
+    bilevel TIFF under WhiteIsZero (photometric 0). compression in
+    {'g4', 'g3', 'g3-2d', 'mh', 'none'} — the scanned-fax family the
+    bilevel decoder reads back."""
+    from docvision_spark.kernel.ccitt_codec import g3_encode, g4_encode
+
+    bm = (np.asarray(bitmap) != 0).astype(np.uint8)
+    h, w = bm.shape
+    t4opts = None
+    if compression == "g4":
+        comp_id, payload = 4, g4_encode(bm)
+    elif compression == "g3":
+        comp_id, payload, t4opts = 3, g3_encode(bm, k=0), 0
+    elif compression == "g3-2d":
+        comp_id, payload, t4opts = 3, g3_encode(bm, k=4), 1
+    elif compression == "mh":
+        # Modified Huffman: 1-D MH, every row byte-aligned. g3_encode
+        # emits rows back-to-back, so pad each row separately.
+        parts = [g3_encode(bm[y:y + 1], k=0) for y in range(h)]
+        comp_id, payload = 2, b"".join(parts)
+    elif compression == "none":
+        stride = (w + 7) // 8
+        comp_id = 1
+        payload = np.packbits(bm, axis=1)[:, :stride].tobytes()
+    else:
+        raise ValueError(f"encode_tiff_bilevel: {compression}")
+
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 1),
+        (259, 3, 1, comp_id), (262, 3, 1, 0),
+        (277, 3, 1, 1), (278, 4, 1, h), (279, 4, 1, len(payload)),
+    ]
+    if t4opts is not None:
+        entries.append((292, 4, 1, t4opts))
+    n_tags = len(entries) + 1  # + strip offset
+    ifd_len = 2 + 12 * n_tags + 4
+    strip_off = 8 + ifd_len
+    entries.append((273, 4, 1, strip_off))
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", n_tags)
+    for tag, typ, count, value in sorted(entries):
+        out += struct.pack("<HHI", tag, typ, count)
+        if typ == 3:
+            out += struct.pack("<HH", value, 0)
+        else:
+            out += struct.pack("<I", value)
+    out += struct.pack("<I", 0)  # next IFD
+    out += payload
+    return bytes(out)

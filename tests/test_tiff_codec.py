@@ -113,3 +113,37 @@ def test_dispatch_and_unsupported_are_typed():
     enc[idx + 8:idx + 10] = struct.pack("<H", 16)
     with pytest.raises(ImageDecodeError):
         decode_tiff(bytes(enc))
+
+
+def test_bilevel_ccitt_roundtrips():
+    """1-bit scanned-fax TIFFs: every compression of the bilevel family
+    (packed bits, Modified Huffman, G3 1-D, G3 2-D via T4Options, G4 MMR)
+    roundtrips bit-exactly; ink maps to gray 0 under WhiteIsZero."""
+    import numpy as np
+
+    from docvision_spark.kernel.tiff_codec import (decode_tiff,
+                                                   encode_tiff_bilevel)
+
+    rng = np.random.default_rng(13)
+    bm = (rng.random((40, 131)) < 0.35).astype(np.uint8)
+    for comp in ("none", "mh", "g3", "g3-2d", "g4"):
+        t = encode_tiff_bilevel(bm, compression=comp)
+        rgb = decode_tiff(t)
+        assert rgb.shape == (40, 131, 3), comp
+        assert np.array_equal(rgb[:, :, 0] == 0, bm == 1), comp
+
+
+def test_bilevel_media_feature_rows():
+    """tiff-bilevel synthetic media rows decode to real features through
+    the generic image dispatch."""
+    import numpy as np
+
+    from docvision_spark.functions.multimodal import make_synthetic_image
+    from docvision_spark.kernel.image_codec import decode_image, dhash64
+
+    for seed in (7, 8, 9, 10):  # covers all four CCITT variants
+        payload = make_synthetic_image(seed, 64, 48, fmt="tiff-bilevel")
+        rgb, fmt = decode_image(payload)
+        assert fmt == "tiff" and rgb.shape == (48, 64, 3)
+        assert set(np.unique(rgb)) <= {0, 255}
+        assert isinstance(dhash64(rgb), int)
