@@ -8,7 +8,8 @@ src/docvision/processing/image.py:351-366 adaptive resize) with
 deterministic from-scratch decoders. Formats covered are the ones fully
 specified by public specs and decodable without native libs:
 
-  PNG  — 8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced,
+  PNG  — gray / gray+alpha / RGB / RGBA / palette at depths 1/2/4/8/16
+         (16-bit high-byte downsample), sequential or Adam7-interlaced,
          all five scanline filters (None/Sub/Up/Average/Paeth).
   BMP  — BITMAPINFOHEADER, 8(palette)/24/32-bit uncompressed, bottom-up
          or top-down.
@@ -94,9 +95,32 @@ def _png_unfilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.nda
     return out.astype(np.uint8)
 
 
+# Adam7 pass grid: (ystart, xstart, ystep, xstep) per PNG §8.2
+_ADAM7 = ((0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+          (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1))
+
+
+def _png_unpack_row(row: np.ndarray, pw: int, channels: int,
+                    depth: int) -> np.ndarray:
+    """One unfiltered byte row -> (pw, channels) uint8 samples. Sub-byte
+    depths unpack MSB-first; 16-bit keeps the high byte (the standard
+    8-bit downsample)."""
+    if depth == 8:
+        return row[:pw * channels].reshape(pw, channels).astype(np.uint8)
+    if depth == 16:
+        return row[:pw * channels * 2].reshape(pw, channels, 2)[:, :, 0] \
+                  .astype(np.uint8)
+    bits = np.unpackbits(row.astype(np.uint8))
+    vals = bits.reshape(-1, depth) @ (1 << np.arange(depth - 1, -1, -1))
+    return vals[:pw].reshape(pw, 1).astype(np.uint8)
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to (H, W, 3) uint8 (alpha dropped,
-    palette resolved, gray replicated)."""
+    """Decode a PNG to (H, W, 3) uint8 (alpha dropped, palette resolved,
+    gray replicated). Full baseline surface: bit depths 1/2/4 (gray and
+    palette), 8, and 16 (high-byte downsample); all five color types;
+    sequential AND Adam7-interlaced layouts (each of the seven passes is
+    an independently filtered sub-image scattered into the canvas)."""
     if data[:8] != PNG_SIG:
         raise ImageDecodeError("png: bad signature")
     pos, idat, ihdr, plte = 8, [], None, None
@@ -117,22 +141,56 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ImageDecodeError("png: missing IHDR/IDAT")
     w, h, depth, ctype_, comp, filt, interlace = ihdr
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if comp != 0 or filt != 0 or interlace not in (0, 1):
         raise ImageDecodeError(
-            f"png: unsupported depth/compression/interlace {depth}/{comp}/{interlace}")
+            f"png: unsupported compression/filter/interlace "
+            f"{comp}/{filt}/{interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype_)
     if channels is None:
         raise ImageDecodeError(f"png: bad color type {ctype_}")
+    if depth not in (1, 2, 4, 8, 16) \
+            or (depth < 8 and ctype_ not in (0, 3)) \
+            or (depth == 16 and ctype_ == 3):
+        raise ImageDecodeError(f"png: bad depth {depth} for type {ctype_}")
     if w == 0 or h == 0:
         raise ImageDecodeError("png: zero dimension")
+    if w * h > 64 * 1024 * 1024:
+        raise ImageDecodeError(f"png: {w}x{h} exceeds pixel budget")
     try:
         raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
     except zlib.error as e:
         raise ImageDecodeError(f"png: zlib {e}") from e
-    stride = w * channels
-    if raw.size != h * (stride + 1):
-        raise ImageDecodeError("png: bad data length")
-    px = _png_unfilter(raw, h, stride, channels).reshape(h, w, channels)
+    bpp = max(1, channels * depth // 8)
+
+    def read_sub(off: int, pw: int, ph: int) -> tuple[np.ndarray, int]:
+        stride = (pw * channels * depth + 7) // 8
+        need = ph * (stride + 1)
+        if off + need > raw.size:
+            raise ImageDecodeError("png: bad data length")
+        rec = _png_unfilter(raw[off:off + need], ph, stride, bpp)
+        rows = [_png_unpack_row(rec[y], pw, channels, depth)
+                for y in range(ph)]
+        return np.stack(rows), off + need
+
+    if interlace == 0:
+        px, off = read_sub(0, w, h)
+        if off != raw.size:
+            raise ImageDecodeError("png: bad data length")
+    else:
+        px = np.zeros((h, w, channels), dtype=np.uint8)
+        off = 0
+        for ys, xs, ystep, xstep in _ADAM7:
+            pw = (w - xs + xstep - 1) // xstep
+            ph = (h - ys + ystep - 1) // ystep
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, off = read_sub(off, pw, ph)
+            px[ys::ystep, xs::xstep] = sub
+        if off != raw.size:
+            raise ImageDecodeError("png: bad data length")
+    if ctype_ == 0 and depth < 8:
+        px = (px.astype(np.uint16) * (255 // ((1 << depth) - 1))) \
+                .astype(np.uint8)
     if ctype_ == 3:  # palette
         if plte is None:
             raise ImageDecodeError("png: palette image without PLTE")

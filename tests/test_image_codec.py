@@ -394,3 +394,83 @@ def test_media_features_real_av(spark):
     assert out[2]["format"] == "y4m" and out[2]["n_frames"] == 4
     assert out[2]["motion"] > 0 and out[2]["width"] == 32
     assert out[1]["error"] is None and out[2]["error"] is None
+
+
+def _raw_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib as _z
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", _z.crc32(ctype + body) & 0xFFFFFFFF))
+
+
+def test_png_adam7_interlaced_decodes():
+    """Adam7: the test builds the seven passes with independent numpy
+    slicing (filter type 0 rows) and the decoder must reassemble the
+    exact source image — pass geometry and ordering are pinned against
+    the spec grid, not against the decoder's own tables."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from docvision_spark.kernel.image_codec import PNG_SIG, decode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 11, 3), dtype=np.uint8)
+    passes = ((0, 0, 8, 8), (0, 4, 8, 8), (4, 0, 8, 4), (0, 2, 4, 4),
+              (2, 0, 4, 2), (0, 1, 2, 2), (1, 0, 2, 1))
+    raw = bytearray()
+    for ys, xs, ystep, xstep in passes:
+        sub = img[ys::ystep, xs::xstep]
+        if sub.size == 0:
+            continue
+        for y in range(sub.shape[0]):
+            raw += b"\x00" + sub[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", 11, 13, 8, 2, 0, 0, 1)
+    png = (PNG_SIG + _raw_chunk(b"IHDR", ihdr)
+           + _raw_chunk(b"IDAT", _z.compress(bytes(raw)))
+           + _raw_chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(png), img)
+
+
+def test_png_sub_byte_and_16bit_depths():
+    """1-bit gray scales to 0/255; 4-bit palette indices unpack MSB-first;
+    16-bit gray keeps the high byte."""
+    import struct
+    import zlib as _z
+
+    import numpy as np
+
+    from docvision_spark.kernel.image_codec import PNG_SIG, decode_png
+
+    # 1-bit gray, 10x2: alternating bits
+    rows = b"\x00" + bytes([0b10110100, 0b01000000]) \
+         + b"\x00" + bytes([0b11111111, 0b11000000])
+    ihdr = struct.pack(">IIBBBBB", 10, 2, 1, 0, 0, 0, 0)
+    png = (PNG_SIG + _raw_chunk(b"IHDR", ihdr)
+           + _raw_chunk(b"IDAT", _z.compress(rows))
+           + _raw_chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert out.shape == (2, 10, 3)
+    assert list(out[0, :, 0]) == [255, 0, 255, 255, 0, 255, 0, 0, 0, 255]
+    assert (out[1, :, 0] == 255).all()
+
+    # 4-bit palette, 3x1: indices 2, 0, 1
+    plte = bytes([10, 10, 10, 200, 0, 0, 0, 200, 0])
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 4, 3, 0, 0, 0)
+    row = b"\x00" + bytes([0x20, 0x10])
+    png = (PNG_SIG + _raw_chunk(b"IHDR", ihdr) + _raw_chunk(b"PLTE", plte)
+           + _raw_chunk(b"IDAT", _z.compress(row))
+           + _raw_chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert [tuple(p) for p in out[0]] == [(0, 200, 0), (10, 10, 10),
+                                         (200, 0, 0)]
+
+    # 16-bit gray, 2x1: 0x1234 -> 0x12, 0xFF00 -> 0xFF
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 16, 0, 0, 0, 0)
+    row = b"\x00" + bytes([0x12, 0x34, 0xFF, 0x00])
+    png = (PNG_SIG + _raw_chunk(b"IHDR", ihdr)
+           + _raw_chunk(b"IDAT", _z.compress(row))
+           + _raw_chunk(b"IEND", b""))
+    out = decode_png(png)
+    assert list(out[0, :, 0]) == [0x12, 0xFF]
