@@ -265,9 +265,58 @@ def encode_png(arr: np.ndarray, filter_type: int = 1) -> bytes:
 
 # ----------------------------------------------------------------------- BMP
 
+def _bmp_rle_decode(data: bytes, w: int, h: int, four_bit: bool) -> np.ndarray:
+    """BI_RLE8 / BI_RLE4 -> (h, w) palette indices (bottom-up rows, like
+    the uncompressed layouts). Escape codes: 0,0 end-of-line; 0,1
+    end-of-bitmap; 0,2 delta dx,dy; 0,n absolute run (word-aligned)."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = 0
+    i, n = 0, len(data)
+    while i + 1 < n and y < h:
+        cnt, val = data[i], data[i + 1]
+        i += 2
+        if cnt > 0:  # encoded run
+            if four_bit:
+                pair = [(val >> 4) & 0xF, val & 0xF]
+                run = [pair[k & 1] for k in range(cnt)]
+            else:
+                run = [val] * cnt
+            end = min(x + cnt, w)
+            idx[y, x:end] = run[:end - x]
+            x = end
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if i + 1 >= n:
+                raise ImageDecodeError("bmp: truncated RLE delta")
+            x = min(w, x + data[i])
+            y += data[i + 1]
+            i += 2
+        else:  # absolute run of `val` pixels
+            nbytes = ((val + 1) // 2 if four_bit else val)
+            nbytes += nbytes & 1  # word aligned
+            chunk = data[i:i + nbytes]
+            if len(chunk) < nbytes:
+                raise ImageDecodeError("bmp: truncated RLE literal")
+            i += nbytes
+            if four_bit:
+                vals = []
+                for b in chunk:
+                    vals += [(b >> 4) & 0xF, b & 0xF]
+                vals = vals[:val]
+            else:
+                vals = list(chunk[:val])
+            end = min(x + val, w)
+            idx[y, x:end] = vals[:end - x]
+            x = end
+    return idx
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
-    """Decode uncompressed 8(palette)/24/32-bit BITMAPINFOHEADER BMP to
-    (H, W, 3) uint8 RGB."""
+    """Decode BITMAPINFOHEADER BMP to (H, W, 3) uint8 RGB: uncompressed
+    1/4/8-bit palette and 24/32-bit truecolor, plus BI_RLE8/BI_RLE4."""
     if data[:2] != b"BM" or len(data) < 54:
         raise ImageDecodeError("bmp: bad header")
     off = struct.unpack("<I", data[10:14])[0]
@@ -277,27 +326,50 @@ def decode_bmp(data: bytes) -> np.ndarray:
         raise ImageDecodeError("bmp: pre-BITMAPINFOHEADER not supported")
     bpp = struct.unpack("<H", data[28:30])[0]
     comp = struct.unpack("<I", data[30:34])[0]
-    if comp != 0 or bpp not in (8, 24, 32):
+    if (comp, bpp) not in ((0, 1), (0, 4), (0, 8), (0, 24), (0, 32),
+                           (1, 8), (2, 4)):
         raise ImageDecodeError(f"bmp: unsupported bpp/compression {bpp}/{comp}")
     topdown = h < 0
     h = abs(h)
     if w <= 0 or h == 0:
         raise ImageDecodeError("bmp: bad dimensions")
-    nbytes = bpp // 8
-    stride = (w * nbytes + 3) & ~3
+    if topdown and comp != 0:
+        raise ImageDecodeError("bmp: top-down RLE is invalid")
+
+    def palette() -> np.ndarray:
+        ncolors = struct.unpack("<I", data[46:50])[0] or (1 << bpp)
+        pal = np.frombuffer(data[14 + hsize:14 + hsize + 4 * ncolors],
+                            dtype=np.uint8)
+        if pal.size < 4 * ncolors:
+            raise ImageDecodeError("bmp: truncated palette")
+        return pal.reshape(-1, 4)[:, [2, 1, 0]]  # BGRA -> RGB
+
+    if comp in (1, 2):  # RLE8 / RLE4
+        pal = palette()
+        idx = _bmp_rle_decode(data[off:], w, h, four_bit=comp == 2)
+        if int(idx.max()) >= pal.shape[0]:
+            raise ImageDecodeError("bmp: palette index out of range")
+        return np.ascontiguousarray(pal[idx][::-1])  # RLE rows: bottom-up
+
+    stride = ((w * bpp + 31) // 32) * 4
     px = data[off:off + stride * h]
     if len(px) < stride * h:
         raise ImageDecodeError("bmp: truncated pixel data")
     rows = np.frombuffer(px, dtype=np.uint8).reshape(h, stride)
-    if bpp == 8:
-        ncolors = struct.unpack("<I", data[46:50])[0] or 256
-        pal = np.frombuffer(data[14 + hsize:14 + hsize + 4 * ncolors],
-                            dtype=np.uint8).reshape(-1, 4)[:, [2, 1, 0]]  # BGRA->RGB
-        idx = rows[:, :w]
+    if bpp in (1, 4, 8):
+        pal = palette()
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)
+            vals = bits.reshape(h, -1, bpp) @ (1 << np.arange(bpp - 1,
+                                                              -1, -1))
+            idx = vals[:, :w].astype(np.uint8)
         if int(idx.max()) >= pal.shape[0]:
             raise ImageDecodeError("bmp: palette index out of range")
         out = pal[idx]
     else:
+        nbytes = bpp // 8
         bgr = rows[:, :w * nbytes].reshape(h, w, nbytes)
         out = bgr[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
     return np.ascontiguousarray(out if topdown else out[::-1])

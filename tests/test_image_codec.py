@@ -474,3 +474,55 @@ def test_png_sub_byte_and_16bit_depths():
            + _raw_chunk(b"IEND", b""))
     out = decode_png(png)
     assert list(out[0, :, 0]) == [0x12, 0xFF]
+
+
+def test_bmp_low_bpp_and_rle():
+    """1/4-bit palette BMPs unpack MSB-first; RLE8/RLE4 honor encoded
+    runs, absolute (word-aligned) runs, end-of-line and end-of-bitmap
+    escapes."""
+    import struct
+
+    import numpy as np
+
+    from docvision_spark.kernel.image_codec import decode_bmp
+
+    def hdr(w, h, bpp, comp, ncolors, datalen):
+        off = 14 + 40 + 4 * ncolors
+        return (b"BM" + struct.pack("<IHHI", off + datalen, 0, 0, off)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, bpp, comp,
+                              datalen, 0, 0, ncolors, 0))
+
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                   [(10, 20, 30), (200, 0, 0), (0, 200, 0), (0, 0, 200)])
+
+    # 1-bit, 10x2 (stride 4): row bits index palette 0/1
+    px = bytes([0b10110100, 0, 0, 0]) + bytes([0b11111111, 0b11000000, 0, 0])
+    bmp = hdr(10, 2, 1, 0, 4, len(px)) + pal + px
+    out = decode_bmp(bmp)
+    assert out.shape == (2, 10, 3)
+    # bottom-up: file row 0 is image row 1
+    assert [tuple(p) for p in out[1][:4]] == [
+        (200, 0, 0), (10, 20, 30), (200, 0, 0), (200, 0, 0)]
+    assert all(tuple(p) == (200, 0, 0) for p in out[0])
+
+    # 4-bit uncompressed, 3x1: indices 2, 0, 1
+    px = bytes([0x20, 0x10, 0, 0])
+    out = decode_bmp(hdr(3, 1, 4, 0, 4, len(px)) + pal + px)
+    assert [tuple(p) for p in out[0]] == [(0, 200, 0), (10, 20, 30),
+                                         (200, 0, 0)]
+
+    # RLE8, 6x2: row0 = 3x idx1 + absolute run [2,3,0] (n>=3, word-
+    # aligned with a pad byte); row1 = 6x idx2
+    rle = bytes([3, 1, 0, 3, 2, 3, 0, 0,   # 3 encoded + absolute(3)+pad
+                 0, 0,                     # EOL
+                 6, 2, 0, 1])              # row1 + EOB
+    out = decode_bmp(hdr(6, 2, 8, 1, 4, len(rle)) + pal + rle)
+    assert [tuple(p) for p in out[1]] == [
+        (200, 0, 0)] * 3 + [(0, 200, 0), (0, 0, 200), (10, 20, 30)]
+    assert all(tuple(p) == (0, 200, 0) for p in out[0])
+
+    # RLE4, 5x1: encoded run of 5 alternating idx 1,2
+    rle = bytes([5, 0x12, 0, 1])
+    out = decode_bmp(hdr(5, 1, 4, 2, 4, len(rle)) + pal + rle)
+    assert [tuple(p) for p in out[0]] == [
+        (200, 0, 0), (0, 200, 0), (200, 0, 0), (0, 200, 0), (200, 0, 0)]
