@@ -743,12 +743,10 @@ def vp8_decode(data: bytes) -> np.ndarray:
             if tok <= FOUR:
                 val = tok
             else:
-                val = CAT_BASE[tok]
+                extra = 0
                 for pb in CAT_PROBS[tok]:
-                    val = (val << 1) | bdp.get(pb)
-                # value = base + extra bits
-                val = CAT_BASE[tok] + (val - (CAT_BASE[tok]
-                                              << len(CAT_PROBS[tok])))
+                    extra = (extra << 1) | bdp.get(pb)
+                val = CAT_BASE[tok] + extra
             if bdp.get(128):
                 val = -val
             coeffs[ZIGZAG[c]] = val
@@ -1065,7 +1063,7 @@ def _write_coeffs(be, coeffs, plane, ctx, probs_p, first) -> int:
         p = probs_p[COEF_BANDS[c]][ctx]
         if c > last:
             if not skip_eob:
-                _put_token(be, p, EOB, 0)
+                _put_token(be, p, EOB)
             else:
                 # cannot code EOB right after a zero: but this state is
                 # unreachable (we stop emitting zeros once past `last`)
@@ -1073,13 +1071,13 @@ def _write_coeffs(be, coeffs, plane, ctx, probs_p, first) -> int:
             break
         v = int(zz[c])
         if v == 0:
-            _put_token(be, p, ZERO, 0, skip_eob)
+            _put_token(be, p, ZERO, skip_eob)
             ctx = 0
             skip_eob = True
             c += 1
             continue
         tok = _value_token(abs(v))
-        _put_token(be, p, tok, 0, skip_eob)
+        _put_token(be, p, tok, skip_eob)
         skip_eob = False
         if tok > FOUR:
             extra = abs(v) - CAT_BASE[tok]
@@ -1102,7 +1100,7 @@ def _value_token(v: int) -> int:
     return CAT6
 
 
-def _put_token(be, probs, tok, _unused, skip_eob=False):
+def _put_token(be, probs, tok, skip_eob=False):
     i = 2 if skip_eob else 0
     path = []
 
