@@ -326,10 +326,15 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                     else:
                         rgb, fmt = decode_image(payload)
                         mean_l, std_l = luma_stats(rgb)
+                        nf = 1
+                        if fmt == "gif":
+                            from docvision_spark.kernel.image_codec import \
+                                gif_frame_count
+                            nf = gif_frame_count(payload)
                         row.update(
                             kind="image", format=fmt,
                             width=rgb.shape[1], height=rgb.shape[0],
-                            n_frames=1, duration_s=0.0,
+                            n_frames=nf, duration_s=0.0,
                             mean_luma=mean_l, std_luma=std_l,
                             ahash=ahash64(rgb), dhash=dhash64(rgb),
                         )

@@ -696,6 +696,44 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ImageDecodeError("gif: no image data")
 
 
+def gif_frame_count(data: bytes) -> int:
+    """Number of image frames in a GIF (cheap block walk — skips color
+    tables, extensions, and LZW sub-blocks without decoding). Animated
+    banners are common crawl content; n_frames is real metadata for
+    them."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        raise ImageDecodeError("gif: bad signature")
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                break
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 0x07))
+            pos += 1  # LZW min code size
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+            frames += 1
+        elif b == 0x3B:
+            break
+        else:
+            break  # unknown block: stop counting, report what parsed
+    return frames
+
+
 def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     """Encode (H, W, 3) uint8 as GIF89a with a 256-entry grayscale-quantized
     palette IF the image has >256 distinct colors, else the exact palette.

@@ -526,3 +526,20 @@ def test_bmp_low_bpp_and_rle():
     out = decode_bmp(hdr(5, 1, 4, 2, 4, len(rle)) + pal + rle)
     assert [tuple(p) for p in out[0]] == [
         (200, 0, 0), (0, 200, 0), (200, 0, 0), (0, 200, 0), (200, 0, 0)]
+
+
+def test_gif_frame_count():
+    import numpy as np
+
+    from docvision_spark.kernel.image_codec import (decode_gif, encode_gif,
+                                                    gif_frame_count)
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    g1 = encode_gif(img)
+    assert gif_frame_count(g1) == 1
+    # two-frame animation: duplicate the image section before the trailer
+    section = g1[13 + 768:-1]  # after header+256-entry GCT, before 0x3B
+    g2 = g1[:-1] + section + b"\x3b"
+    assert gif_frame_count(g2) == 2
+    # first frame still decodes
+    assert decode_gif(g2).shape == (8, 8, 3)
