@@ -571,3 +571,195 @@ def connected_components(
             f"connected_components did not converge in {max_iter} "
             f"iterations (component diameter exceeds 2^max_iter)")
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+# ------------------------------------------------------------ incremental --
+# Re-crawl workflow: a published corpus never rescans — each new crawl
+# increment dedups against the corpus's PERSISTED artifacts (fingerprint
+# table for exact, band + shingle tables for near-dup), then appends its
+# own survivors' artifacts as the next snapshot. At 10^12 docs the
+# published side is orders of magnitude larger than an increment, so the
+# only viable shapes are (a) anti-join on a 128-bit fingerprint and
+# (b) band-key join against the published band table — both shuffle keys
+# and ids only, never text. Reference behavior analogue: docvision
+# re-processes every input file per run (src/docvision/core/parser.py has
+# no corpus memory); incremental dedup is the capability a 100 TB pipeline
+# needs instead.
+
+def fingerprint_table(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """(fp, id) projection of a corpus — the persisted exact-dedup artifact.
+
+    NULL-text rows carry no fingerprint and are excluded (NULL is a
+    joinable dedup key: letting it through would collapse every NULL-text
+    row into one survivor). Persist this bucketed BY fp so increment
+    anti-joins are co-partitioned sort-merge with zero history shuffle."""
+    return (df.filter(F.col(text_col).isNotNull())
+              .select(fingerprint_md5(F.col(text_col)).alias("fp"),
+                      F.col(id_col).alias("id")))
+
+
+def incremental_exact_dedup(new_df: DataFrame, history_fps: DataFrame,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Rows of a new crawl increment that survive exact dedup against a
+    published fingerprint table (and within the increment itself).
+
+    Within-batch policy matches exact_dedup (min id per fingerprint);
+    cross-history is a left-anti join on fp. Only (fp, id) pairs ever
+    shuffle — the increment's text rides a final left-semi join on the id
+    column and the history table is touched fp-column-only (column-pruned
+    scan of the persisted artifact). NULL-text rows pass through
+    unconditionally: they are never dedup keys (see fingerprint_table).
+    """
+    nulls = new_df.filter(F.col(text_col).isNull())
+    fps = (new_df.filter(F.col(text_col).isNotNull())
+                 .select(F.col(id_col).alias("_id"),
+                         fingerprint_md5(F.col(text_col)).alias("fp")))
+    batch_winner = fps.groupBy("fp").agg(F.min("_id").alias("_id"))
+    survivor_ids = (batch_winner
+                    .join(history_fps.select("fp"), "fp", "left_anti")
+                    .select(F.col("_id").alias(id_col)))
+    return (new_df.join(survivor_ids, id_col, "left_semi")
+                  .unionByName(nulls))
+
+
+def minhash_artifacts(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 8, shingle_k: int = 3,
+                      shingle_mode: str = "word",
+                      ) -> tuple[DataFrame, DataFrame]:
+    """(shingled, banded) projections — the persisted near-dup artifacts.
+
+    shingled = (id, sh array<long>): exact-verification sets.
+    banded   = (id, band, bkey):     LSH candidate keys.
+    A published corpus persists both (banded bucketed by (band, bkey),
+    shingled by id); increments join against them without touching the
+    published text. Same banding math as minhash_lsh_pairs — r =
+    num_hashes/bands rows per band, band key = xxhash64 of the band's
+    signature slice."""
+    r = num_hashes // bands
+    mk = char_shingles if shingle_mode == "char" else word_shingle_hashes
+    shingled = parallelize_input(df).select(
+        F.col(id_col).alias("id"),
+        mk(F.col(text_col), shingle_k).alias("sh"),
+    ).localCheckpoint()
+    sig = minhash_signatures_expr(shingled, "id", "sh", num_hashes)
+    banded = sig.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col("mh")[b * r + i] for i in range(r)])
+                 .alias("bkey"),
+            )
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("id", "bb.band", "bb.bkey")
+    return shingled, banded
+
+
+def incremental_minhash_pairs(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    max_bucket: int = 64,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """(new_id, hist_id, jaccard) pairs: increment docs near-duplicate with
+    the published corpus, MinHash-banded + exactly verified.
+
+    The candidate join is new-bands x history-bands on (band, bkey) — an
+    increment-sized probe into the published band table, NOT a self-join
+    over the union (which would rediscover every already-known
+    history-internal pair on every run). Verification joins each side's
+    candidates back to its OWN shingle table, so history text is never
+    read. Hot-bucket cap applies per side. Pass precomputed artifacts via
+    history_df being the raw docs here; jobs persist minhash_artifacts()
+    output and feed it to incremental_minhash_pairs_from_artifacts."""
+    h_sh, h_bands = minhash_artifacts(
+        history_df, id_col, text_col, num_hashes, bands, shingle_k,
+        shingle_mode)
+    return incremental_minhash_pairs_from_artifacts(
+        new_df, h_sh, h_bands, id_col, text_col, num_hashes, bands,
+        shingle_k, shingle_mode, max_bucket, jaccard_threshold)
+
+
+def incremental_minhash_pairs_from_artifacts(
+    new_df: DataFrame,
+    history_shingled: DataFrame,
+    history_banded: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    shingle_mode: str = "word",
+    max_bucket: int = 64,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """incremental_minhash_pairs against PERSISTED history artifacts —
+    the production entry point: the published corpus contributes only its
+    (id, band, bkey) and (id, sh) tables, read column-pruned from storage.
+    Banding parameters must match the ones the artifacts were built with
+    (same num_hashes/bands/shingle settings — band keys are not
+    comparable across parameterizations)."""
+    n_sh, n_bands = minhash_artifacts(
+        new_df, id_col, text_col, num_hashes, bands, shingle_k,
+        shingle_mode)
+
+    def cap(banded: DataFrame) -> DataFrame:
+        return (banded.withColumn(
+                    "rn",
+                    F.row_number().over(
+                        Window.partitionBy("band", "bkey").orderBy("id")))
+                .filter(F.col("rn") <= max_bucket)
+                .drop("rn"))
+
+    cand = (
+        cap(n_bands).alias("n")
+        .join(cap(history_banded).alias("h"), ["band", "bkey"])
+        .select(F.col("n.id").alias("new_id"),
+                F.col("h.id").alias("hist_id"))
+        .dropDuplicates(["new_id", "hist_id"])
+    )
+    cand = (
+        cand.join(n_sh.select(F.col("id").alias("new_id"),
+                              F.col("sh").alias("sh_n")), "new_id")
+            .join(history_shingled.select(F.col("id").alias("hist_id"),
+                                          F.col("sh").alias("sh_h")),
+                  "hist_id")
+    )
+    inter = F.size(F.array_intersect("sh_n", "sh_h"))
+    union = F.size("sh_n") + F.size("sh_h") - inter
+    num, den = _threshold_ratio(jaccard_threshold)
+    return (
+        cand.withColumn("n_inter", inter).withColumn("n_union", union)
+            .filter(F.col("n_inter") * den >= F.col("n_union") * num)
+            .select(
+                "new_id", "hist_id",
+                F.round(F.col("n_inter") / F.col("n_union"), 4)
+                 .alias("jaccard"))
+    )
+
+
+def incremental_minhash_dedup(
+    new_df: DataFrame,
+    history_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """Increment rows that are NOT near-duplicates of the published corpus
+    (the keep-set a re-crawl appends). Convenience over
+    incremental_minhash_pairs; NULL-text rows pass through (no shingles,
+    never candidates)."""
+    pairs = incremental_minhash_pairs(
+        new_df, history_df, id_col, text_col, **kwargs)
+    dup_ids = pairs.select(F.col("new_id").alias(id_col)).distinct()
+    return new_df.join(dup_ids, id_col, "left_anti")

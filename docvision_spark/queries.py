@@ -584,6 +584,35 @@ def d01_minhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
                  dedup.minhash_lsh_pairs(d, jaccard_threshold=0.8))
 
 
+def _incr_split(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    """Deterministic published-corpus / new-increment split of `documents`
+    for the incremental-dedup queries: doc_id % 10 < 3 plays the published
+    corpus (~30%), the rest is the new crawl increment."""
+    d = load(spark, sf, "documents")
+    return (d.filter(F.col("doc_id") % 10 < 3),
+            d.filter(F.col("doc_id") % 10 >= 3))
+
+
+def i01_incremental_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental exact dedup: increment rows surviving the anti-join
+    against the published corpus's fingerprint table (plus within-batch
+    min-id dedup). Full ANSI-SQL oracle — the whole operator re-derives."""
+    hist, new = _incr_split(spark, sf)
+    kept = dedup.incremental_exact_dedup(new, dedup.fingerprint_table(hist))
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+def i02_incremental_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup: (new_id, hist_id, jaccard) pairs from the
+    increment-vs-published band-table probe with exact verification.
+    Determinism twin (banded LSH has no SQL equivalent; semantics are
+    pytest-gated by planted cross-corpus twins in tests/)."""
+    hist, new = _incr_split(spark, sf)
+    return _twin(spark, sf, "i02_incremental_minhash",
+                 dedup.incremental_minhash_pairs(
+                     new, hist, jaccard_threshold=0.8))
+
+
 def d02_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     return _twin(spark, sf, "d02_simhash_pairs",
@@ -964,9 +993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q01_pricing_summary": q01_pricing_summary,
         "q02_top_customers": q02_top_customers,
         "q03_region_rollup": q03_region_rollup,
-        "q06_event_type_daily": q06_event_type_daily,
         "q07_order_priority": q07_order_priority,
-        "q08_brand_volume": q08_brand_volume,
         "q09_props_json": q09_props_json,
         "q10_nation_revenue_rank": q10_nation_revenue_rank,
         "q11_monthly_growth": q11_monthly_growth,
@@ -979,9 +1006,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t03_langid": t03_langid,
         "t04_fingerprint": t04_fingerprint,
         "t05_exact_dedup": t05_exact_dedup,
-        # u01/b01 sit early: the round-2 driver verified only the first 50
-        # registered queries, and u01 (then 51st) missed its row; new
-        # operators go near the front until they have a driver row.
+        # u01/b01/i01/i02 sit early: the driver verifies only the first 50
+        # registered queries, and u01 (then 51st) missed its round-2 row;
+        # new operators go near the front until they have a driver row.
+        "i01_incremental_exact": i01_incremental_exact,
+        "i02_incremental_minhash": i02_incremental_minhash,
         "u01_url_canonical": u01_url_canonical,
         "b01_host_boilerplate": b01_host_boilerplate,
         "t08_bpe_tokens": t08_bpe_tokens,
@@ -1020,16 +1049,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   r1-r3: s04/m02 parked (never had a row)       -> rotated in r4
         #   r4:    q03/q07 parked (green r1/r2/r3)        -> rotated in r5
         #   r5:    q04/q05 parked (green r1/r2/r3/r4); q03/q07, s04/m02
-        #          back inside.
+        #          back inside.  Mid-round, the new i01/i02 incremental-
+        #          dedup queries entered the window, parking q06/q08
+        #          (green r1-r4) at 53-54 beside q04/q05.
         # Parked queries' operators stay evidenced: q04 (window running
         # sum) by q10/q11's window functions, q05 (sessionize lag/gap) by
-        # q11's lag.  tests/test_queries_oracle.py::
-        # test_driver_verified_window pins the intended membership.
+        # q11's lag, q06 (date-truncated groupBy) by q11's month rollup,
+        # q08 (dim-join + groupBy) by q02/q03/q10.
+        # tests/test_queries_oracle.py::test_driver_verified_window pins
+        # the intended membership.
         "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
         "m02_image_dups": m02_image_dups,
-        # positions 51-52 (outside the driver window this round):
+        # positions 51-54 (outside the driver window this round):
         "q04_running_value": q04_running_value,
         "q05_sessionize": q05_sessionize,
+        "q06_event_type_daily": q06_event_type_daily,
+        "q08_brand_volume": q08_brand_volume,
     }
 
 
@@ -1293,6 +1328,28 @@ def oracle_sql() -> dict[str, str]:
                    count(*) as n_copies
             from documents group by 1
         """,
+        # incremental dedup: published corpus = doc_id % 10 < 3, increment
+        # = the rest; survivors = within-batch min-id per fp, anti-joined
+        # against the published fingerprints; NULL-text rows pass through.
+        "i01_incremental_exact": f"""
+            with f as (
+              select doc_id, md5({norm}) as fp
+              from documents where text is not null
+            ),
+            hist as (select fp from f where doc_id % 10 < 3),
+            batch as (
+              select fp, min(doc_id) as doc_id
+              from f where doc_id % 10 >= 3 group by 1
+            ),
+            surv as (
+              select b.doc_id from batch b
+              where not exists (select 1 from hist h where h.fp = b.fp)
+            )
+            select d.doc_id, d.lang, d.n_chars from documents d
+            where d.doc_id in (select doc_id from surv)
+               or (d.text is null and d.doc_id % 10 >= 3)
+        """,
+        "i02_incremental_minhash": _twin_sql("i02_incremental_minhash"),
         "q12_token_quantiles": f"""
             with t as (
               select lang, len({_tokens_sql('text')}) as n_tokens
