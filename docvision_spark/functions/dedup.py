@@ -601,7 +601,8 @@ def fingerprint_table(df: DataFrame, id_col: str = "doc_id",
 
 def incremental_exact_dedup(new_df: DataFrame, history_fps: DataFrame,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            fp_col: str | None = None) -> DataFrame:
     """Rows of a new crawl increment that survive exact dedup against a
     published fingerprint table (and within the increment itself).
 
@@ -611,11 +612,19 @@ def incremental_exact_dedup(new_df: DataFrame, history_fps: DataFrame,
     column and the history table is touched fp-column-only (column-pruned
     scan of the persisted artifact). NULL-text rows pass through
     unconditionally: they are never dedup keys (see fingerprint_table).
+
+    fp_col: use an EXISTING fingerprint column instead of computing
+    md5(normalized(text)) — the extract pipeline already carries a
+    sha3-256 content id, so dedup against a published extract table is an
+    anti-join between two persisted id columns with no text read on
+    either side (rows with NULL fp_col pass through like NULL text).
     """
-    nulls = new_df.filter(F.col(text_col).isNull())
-    fps = (new_df.filter(F.col(text_col).isNotNull())
+    key = F.col(fp_col) if fp_col else F.col(text_col)
+    nulls = new_df.filter(key.isNull())
+    fps = (new_df.filter(key.isNotNull())
                  .select(F.col(id_col).alias("_id"),
-                         fingerprint_md5(F.col(text_col)).alias("fp")))
+                         (F.col(fp_col) if fp_col
+                          else fingerprint_md5(F.col(text_col))).alias("fp")))
     batch_winner = fps.groupBy("fp").agg(F.min("_id").alias("_id"))
     survivor_ids = (batch_winner
                     .join(history_fps.select("fp"), "fp", "left_anti")

@@ -222,8 +222,17 @@ def run_extract_job(
     out_dir: str,
     partitions: int | None = None,
     resume: bool = True,
+    dedup_against: str | None = None,
 ) -> dict:
     """Full job with snapshot commit + lineage (build plan M2+M3).
+
+    dedup_against: path of a PUBLISHED extract table — re-crawl mode. The
+    increment's extracted docs are content-deduped against that table's
+    persisted sha3-256 `id` column (and within the increment, min-url per
+    id) before the snapshot commit: an anti-join between two id columns,
+    no text read on either side. Error rows and empty extractions pass
+    through — they carry no content identity. The summary then includes
+    `dedup_dropped`.
 
     Returns a summary dict {snapshot_id, docs, failures, wall_s}.
     """
@@ -244,6 +253,27 @@ def run_extract_job(
         pages = pages.join(committed, "url", "left_anti")
 
     out = extract_pages(pages, partitions)
+    n_dropped = 0
+    if dedup_against is not None:
+        from docvision_spark.functions.dedup import incremental_exact_dedup
+
+        corpus = snapshots.read_table(spark, dedup_against)
+        corpus_fps = (corpus.filter(F.col("error").isNull()
+                                    & (F.length("text") > 0))
+                            .select(F.col("id").alias("fp")))
+        eligible = (F.col("error").isNull() & F.col("text").isNotNull()
+                    & (F.length("text") > 0))
+        # docs entering dedup; cheap relative to the extract stage, and
+        # needed so `dedup_dropped` is reported, not recomputed. The
+        # localCheckpoint stops the mapInPandas extract stage from running
+        # twice (once for this count, once for the write below).
+        out = out.localCheckpoint()
+        n_before = out.count()
+        kept = incremental_exact_dedup(
+            out.filter(eligible), corpus_fps, id_col="url",
+            text_col="text", fp_col="id")
+        out = kept.unionByName(out.filter(~eligible))
+        n_dropped = n_before - out.count()
     out = out.withColumn("bucket", F.pmod(F.crc32(F.col("url")), F.lit(N_BUCKETS)))
 
     data_dir = os.path.join(out_dir, "data")
@@ -256,8 +286,11 @@ def run_extract_job(
         # resumed run with nothing left to do: no new snapshot
         import shutil
         shutil.rmtree(staging, ignore_errors=True)
-        return {"snapshot_id": None, "docs": 0, "failures": 0,
-                "wall_s": time.perf_counter() - t0}
+        summary = {"snapshot_id": None, "docs": 0, "failures": 0,
+                   "wall_s": time.perf_counter() - t0}
+        if dedup_against is not None:
+            summary["dedup_dropped"] = n_dropped
+        return summary
 
     written = spark.read.parquet(staging)
     n_docs = written.count()
@@ -265,4 +298,8 @@ def run_extract_job(
     snap = snapshots.commit(out_dir, staging, data_dir, n_docs)
     wall = time.perf_counter() - t0
     write_metrics(spark, out_dir, snap, pages_path, wall)
-    return {"snapshot_id": snap, "docs": n_docs, "failures": n_fail, "wall_s": wall}
+    summary = {"snapshot_id": snap, "docs": n_docs, "failures": n_fail,
+               "wall_s": wall}
+    if dedup_against is not None:
+        summary["dedup_dropped"] = n_dropped
+    return summary

@@ -25,6 +25,11 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--cores", type=int, default=None, help="local[N] cores")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--dedup-against", default=None, metavar="TABLE",
+                    help="re-crawl mode: content-dedup the increment's "
+                         "extracted docs against this published extract "
+                         "table's id column before committing (summary "
+                         "gains dedup_dropped)")
     ap.add_argument("--compact-mb", type=int, default=0,
                     help="if >0, run small-file compaction on the output "
                          "table to ~N MB files after the extract commit "
@@ -39,6 +44,7 @@ def main() -> None:
     summary = run_extract_job(
         spark, args.input, args.output,
         partitions=args.partitions, resume=not args.no_resume,
+        dedup_against=args.dedup_against,
     )
     if args.compact_mb > 0:
         from docvision_spark.pipeline import snapshots

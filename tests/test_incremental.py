@@ -126,3 +126,55 @@ def test_incremental_plans_stay_jvm_side(spark):
         assert "EvalPython" not in plan
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.spark
+def test_recrawl_extract_dedup_against_published(spark, pages_dir, tmp_path):
+    """Re-crawl e2e at the job boundary: publish a corpus table, then
+    extract an increment of (a) re-crawled pages — same html bytes under
+    new urls — and (b) novel pages (one planted within-increment dup) with
+    dedup_against pointing at the published table. Only novel content
+    commits; the id anti-join catches the re-crawls without reading
+    either side's text."""
+    from pyspark.sql import functions as F
+
+    from docvision_spark.pipeline import snapshots
+    from docvision_spark.pipeline.extract_job import read_pages, run_extract_job
+
+    pub_dir = str(tmp_path / "published")
+    s1 = run_extract_job(spark, pages_dir, pub_dir, partitions=4)
+    assert s1["docs"] == 300
+
+    # 40 re-crawled pages: pick urls whose published extraction is clean
+    # and non-empty, remap the url, keep the html bytes
+    pub = snapshots.read_table(spark, pub_dir)
+    clean = (pub.filter(F.col("error").isNull() & (F.length("text") > 0))
+                .select("url").limit(40))
+    pages = read_pages(spark, pages_dir)
+    recrawled = (pages.join(F.broadcast(clean), "url", "left_semi")
+                 .withColumn("url", F.concat(F.lit("http://recrawl.test/"),
+                                             F.col("url"))))
+
+    # 4 novel pages + 1 exact within-increment dup of the first novel page
+    novel_rows = []
+    for i in range(4):
+        html = (f"<html><body><p>entirely novel increment page {i} with "
+                f"its own unrepeated content body</p></body></html>"
+                ).encode()
+        novel_rows.append((f"http://novel.test/{i}", html, "en"))
+    novel_rows.append(("http://novel.test/dup-of-0", novel_rows[0][1], "en"))
+    novel = spark.createDataFrame(
+        novel_rows, "url string, html binary, lang string")
+
+    inc_dir = str(tmp_path / "inc_pages")
+    recrawled.select(*novel.columns).unionByName(novel) \
+        .write.parquet(inc_dir)
+
+    out_dir = str(tmp_path / "recrawl_out")
+    s2 = run_extract_job(spark, inc_dir, out_dir, partitions=4,
+                         dedup_against=pub_dir)
+    assert s2["docs"] == 4, s2
+    assert s2["dedup_dropped"] == 41, s2  # 40 re-crawls + 1 in-batch dup
+    got = {r["url"] for r in
+           snapshots.read_table(spark, out_dir).select("url").collect()}
+    assert got == {f"http://novel.test/{i}" for i in range(4)}
