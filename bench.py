@@ -83,6 +83,7 @@ HEADLINE = [
     "q01_pricing_summary", "q02_top_customers", "q04_running_value",
     "q05_sessionize", "q06_event_type_daily", "q08_brand_volume",
     "t01_token_stats", "t02_quality", "t03_langid", "t05_exact_dedup",
+    "i01_incremental_exact",
     "d01_minhash_pairs", "d02_simhash_pairs", "d04_winnow_fingerprints",
     "s01_topk_cosine", "s02_knn_sample",
     "m02_image_dups", "t08_bpe_tokens", "c01_chunks",
