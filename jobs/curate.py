@@ -15,11 +15,16 @@ deduplicated, quality-filtered text corpus with an audit trail.
                          hash recomputed on the STRIPPED text, so docs that
                          differed only in template lines collapse)
           ──minhash near-dup──> drop jaccard>=0.8 duplicates (keep one per pair-cluster)
-          ──> curated parquet + report JSON
+          ──history dedup (re-crawl mode, --history)──> drop exact copies of
+                         a previously-curated corpus via its persisted
+                         content_md5 column and near-dups via its persisted
+                         minhash artifacts (band probe + shingle verify);
+                         the published text is never re-read
+          ──> curated parquet + dedup artifacts + report JSON
 
 Usage:
     spark-submit jobs/curate.py --input pages_dir [--warc] --output out_dir
-        [--min-quality 60] [--cores N]
+        [--min-quality 60] [--cores N] [--history prior_out_dir]
 """
 
 from __future__ import annotations
@@ -40,6 +45,15 @@ def main() -> None:
     ap.add_argument("--min-quality", type=int, default=60)
     ap.add_argument("--jaccard", type=float, default=0.8)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--history", default=None, metavar="DIR",
+                    help="previously-curated output dir: re-crawl mode. "
+                         "The increment is additionally deduped against "
+                         "that corpus's persisted content_md5 column "
+                         "(exact) and minhash artifacts (near-dup) — the "
+                         "published text is never re-read or re-shingled.")
+    ap.add_argument("--no-artifacts", action="store_true",
+                    help="skip writing the minhash artifacts next runs' "
+                         "--history consumes")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -124,10 +138,19 @@ def main() -> None:
     #    hash, recomputed on the STRIPPED text (the doc id stays the sha3 of
     #    the original extraction — lineage — but docs that differed only in
     #    now-removed template lines must collapse here)
-    kept = kept.withColumn("_cid", F.md5(F.col("text")))
-    w_min = kept.groupBy("_cid").agg(F.min("url").alias("url"))
-    exact = kept.join(w_min, ["_cid", "url"]).drop("_cid")
+    kept = kept.withColumn("content_md5", F.md5(F.col("text")))
+    w_min = kept.groupBy("content_md5").agg(F.min("url").alias("url"))
+    exact = kept.join(w_min, ["content_md5", "url"])
     report["after_exact_dedup"] = exact.count()
+
+    # 4b. re-crawl mode: exact dedup against the published corpus's
+    #     persisted content_md5 column — a column-pruned anti-join, no
+    #     history text read
+    if args.history:
+        h_md5 = (spark.read.parquet(os.path.join(args.history, "data"))
+                 .select("content_md5"))
+        exact = exact.join(h_md5, "content_md5", "left_anti")
+        report["after_history_exact"] = exact.count()
 
     # 5. near-dup drop: keep-lowest-url policy. The pair id is the url
     #    itself (minhash_lsh_pairs only needs an orderable, groupable id),
@@ -142,7 +165,41 @@ def main() -> None:
     n_final = curated.count()
     report["after_near_dedup"] = n_final
 
+    # 5b. re-crawl mode: near-dup drop against the published corpus's
+    #     persisted minhash artifacts (band probe + exact verify against
+    #     its shingle table) — history docs are never re-shingled, and
+    #     history-internal pairs are never rediscovered
+    if args.history:
+        from docvision_spark.functions.dedup import (
+            incremental_minhash_pairs_from_artifacts)
+
+        art = os.path.join(args.history, "artifacts")
+        if not os.path.isdir(art):
+            raise SystemExit(
+                f"--history {args.history} has no artifacts/ dir (was it "
+                f"curated with --no-artifacts?)")
+        pairs_h = incremental_minhash_pairs_from_artifacts(
+            curated,
+            spark.read.parquet(os.path.join(art, "shingles")),
+            spark.read.parquet(os.path.join(art, "bands")),
+            id_col="url", text_col="text",
+            jaccard_threshold=args.jaccard)
+        h_losers = pairs_h.select(F.col("new_id").alias("url")).distinct()
+        curated = curated.join(h_losers, "url", "left_anti")
+        n_final = curated.count()
+        report["after_history_neardup"] = n_final
+
     curated.write.mode("overwrite").parquet(os.path.join(args.output, "data"))
+    if not args.no_artifacts:
+        # persist the dedup artifacts the NEXT curate run's --history
+        # consumes: (url, sh) exact-verification sets + (url, band, bkey)
+        # LSH keys for the surviving corpus
+        from docvision_spark.functions.dedup import minhash_artifacts
+
+        sh, bands = minhash_artifacts(curated, id_col="url", text_col="text")
+        art = os.path.join(args.output, "artifacts")
+        sh.write.mode("overwrite").parquet(os.path.join(art, "shingles"))
+        bands.write.mode("overwrite").parquet(os.path.join(art, "bands"))
     with open(os.path.join(args.output, "report.json"), "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

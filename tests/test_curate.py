@@ -232,3 +232,72 @@ def test_curate_sf01_scale_stage_counts(tmp_path):
         f"select count(*) from read_parquet('{out_dir}/data/*.parquet')"
     ).fetchone()[0]
     assert n == rep["after_near_dedup"]
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_curate_history_recrawl_mode(tmp_path):
+    """Re-crawl mode: curate a history corpus (publishing content_md5 +
+    minhash artifacts), then curate an increment with --history pointing at
+    it. Exact copies of history drop at the content_md5 anti-join, near-dups
+    at the artifact band-probe; novel docs survive."""
+    import random
+
+    rng = random.Random(20260817)
+    vocab = [f"w{i:03d}" for i in range(400)]
+
+    def page_html(n_words: int = 50) -> bytes:
+        body = " ".join(rng.choice(vocab) for _ in range(n_words))
+        return (f"<html><body><main><p>{body}</p></main></body></html>"
+                ).encode()
+
+    schema = pa.schema([("url", pa.string()), ("html", pa.binary()),
+                        ("lang", pa.string())])
+
+    def write_pages(d, items):
+        d.mkdir()
+        rows = {"url": [u for u, _ in items],
+                "html": [h for _, h in items],
+                "lang": ["en"] * len(items)}
+        pq.write_table(pa.Table.from_pydict(rows, schema=schema),
+                       str(d / "part-0.parquet"))
+
+    def curate(in_dir, out_dir, *extra):
+        env = dict(os.environ, PYTHONPATH=REPO)
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+             "--input", str(in_dir), "--output", str(out_dir),
+             "--cores", "8", "--min-quality", "0", *extra],
+            capture_output=True, text=True, timeout=500, env=env)
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    # distinct hosts so the host-frequency boilerplate stage is a no-op
+    hist_items = [(f"http://h{i}.test/page", page_html()) for i in range(20)]
+    write_pages(tmp_path / "hist_pages", hist_items)
+    r1 = curate(tmp_path / "hist_pages", tmp_path / "out_hist")
+    assert r1["after_near_dedup"] == 20
+    assert os.path.isdir(tmp_path / "out_hist" / "artifacts" / "bands")
+
+    # increment: 1 exact copy of h0, 1 near-dup of h1 (one word swapped),
+    # 4 novel pages, 1 within-increment exact dup of the first novel page
+    near = hist_items[1][1].replace(b" ", b" uniq ", 1)
+    novel = [(f"http://n{i}.test/page", page_html()) for i in range(4)]
+    inc_items = ([("http://rec0.test/page", hist_items[0][1]),
+                  ("http://rec1.test/page", near)]
+                 + novel
+                 + [("http://n0dup.test/page", novel[0][1])])
+    write_pages(tmp_path / "inc_pages", inc_items)
+    r2 = curate(tmp_path / "inc_pages", tmp_path / "out_inc",
+                "--history", str(tmp_path / "out_hist"))
+
+    assert r2["after_exact_dedup"] == 6          # in-batch dup collapses
+    assert r2["after_history_exact"] == 5        # h0 copy drops
+    assert r2["after_near_dedup"] == 5           # no in-batch near-dups
+    assert r2["after_history_neardup"] == 4      # h1 near-dup drops
+
+    import duckdb
+    urls = {u for (u,) in duckdb.connect().execute(
+        f"select url from read_parquet("
+        f"'{tmp_path}/out_inc/data/*.parquet')").fetchall()}
+    assert urls == {u for u, _ in novel}
