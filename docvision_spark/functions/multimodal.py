@@ -278,10 +278,11 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             mean_luma=f["mean_luma"], motion=f["motion"],
                         )
                     elif payload[:5] == b"%PDF-":
-                        # scanned-document PDF: the embedded CCITT G4
-                        # raster pixel-decodes via kernel/ccitt_codec ->
-                        # full dims/luma/hash features (the reference
-                        # sends these pages to fitz+OCR,
+                        # scanned-document PDF: the embedded raster
+                        # (CCITT G4 via kernel/ccitt_codec, or DCT/JPEG
+                        # via kernel/jpeg_codec) pixel-decodes -> full
+                        # dims/luma/hash features (the reference sends
+                        # these pages to fitz+OCR,
                         # processing/image.py:62-108)
                         from docvision_spark.kernel.pdf_text import \
                             pdf_image_xobjects
@@ -289,11 +290,11 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                         if not imgs:
                             raise ValueError(
                                 "pdf: no decodable raster images")
-                        g = imgs[0]
+                        g, rfmt = imgs[0]
                         rgb = np.stack([g, g, g], axis=-1)
                         mean_l, std_l = luma_stats(rgb)
                         row.update(
-                            kind="image", format="pdf-g4",
+                            kind="image", format=f"pdf-{rfmt}",
                             width=g.shape[1], height=g.shape[0],
                             n_frames=len(imgs), duration_s=0.0,
                             mean_luma=mean_l, std_luma=std_l,
@@ -478,17 +479,24 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                         mid, duration_s=1.0 + (mid % 7) / 2,
                         width=320 + 16 * (mid % 5), height=180 + 12 * (mid % 3))
                 elif mid % 23 == 6:
-                    # scanned-page PDF: real CCITT G4 raster inside a
+                    # scanned-page PDF: real raster (CCITT G4 or, for
+                    # sseed % 3 == 2, grayscale JPEG /DCTDecode) inside a
                     # minimal PDF shell; near-dup twins planted within the
                     # slice (mid % 17 == 1 re-scans the previous scanned
-                    # id, mid-23, with a few noise pixels) so G4 rows
-                    # join the m02 perceptual near-dup pool
-                    from docvision_spark.corpus import make_scanned_pdf
+                    # id, mid-23, with a few noise pixels) so raster rows
+                    # join the m02 perceptual near-dup pool. The variant
+                    # keys on sseed — the seed actually scanned — so a
+                    # twin always re-encodes with its source's filter and
+                    # the pair stays within one perceptual family.
+                    from docvision_spark.corpus import (make_scanned_pdf,
+                                                        make_scanned_pdf_jpeg)
                     kind = "image"
                     sseed, snoise = ((mid - 23, 6)
                                      if mid % 17 == 1 and mid >= 23
                                      else (mid, 0))
-                    payload = make_scanned_pdf(sseed, noise=snoise)
+                    mk = (make_scanned_pdf_jpeg if sseed % 3 == 2
+                          else make_scanned_pdf)
+                    payload = mk(sseed, noise=snoise)
                 elif mid % 23 == 5:
                     kind = "image"
                     # both WebP families carry REAL pixels now: lossless

@@ -662,16 +662,19 @@ def _parse_objects(payload: bytes) -> tuple[dict[int, bytes], _Crypt | None]:
 
 
 def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
-    """Decoded grayscale (H, W) uint8 arrays (255 = paper, 0 = ink) of the
+    """Decoded `(gray, fmt)` pairs — grayscale (H, W) uint8 array
+    (255 = paper, 0 = ink) plus the source filter tag — for the
     document's embedded raster image XObjects.
 
-    /CCITTFaxDecode streams pixel-decode via kernel/ccitt_codec across
-    the whole K surface (K < 0 pure G4 MMR — the dominant scanned-doc
-    encoding — plus K == 0 G3 1-D and K > 0 G3 mixed); the reference
-    rasterizes these pages via fitz and OCRs them (reference
-    processing/image.py:62-108), here the bitmap itself feeds the media
-    feature path. JBIG2, DCT and JPX rasters are skipped (their docs
-    keep typed error/partial semantics elsewhere).
+    /CCITTFaxDecode streams (fmt "g4") pixel-decode via kernel/ccitt_codec
+    across the whole K surface (K < 0 pure G4 MMR — the dominant
+    scanned-doc encoding — plus K == 0 G3 1-D and K > 0 G3 mixed);
+    /DCTDecode streams (fmt "jpeg") — the other encoding real scanners
+    emit, for grayscale/photo scans — decode via kernel/jpeg_codec and
+    reduce to BT.601 luma. The reference rasterizes such pages via fitz
+    and OCRs them (reference processing/image.py:62-108); here the bitmap
+    itself feeds the media feature path. JBIG2 and JPX rasters are
+    skipped (their docs keep typed error/partial semantics elsewhere).
     Ink is reported as gray 0 regardless of /BlackIs1 — that flag governs
     the written bit values, not the coding-domain black runs, and feature
     extraction wants ink. Raises PdfEncryptedError for locked docs, like
@@ -690,7 +693,11 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
         if not sm:
             continue
         d = body[:sm.start()]
-        if b"/Image" not in d or b"/CCITTFaxDecode" not in d:
+        if b"/Image" not in d:
+            continue
+        is_ccitt = b"/CCITTFaxDecode" in d
+        is_dct = b"/DCTDecode" in d
+        if not (is_ccitt or is_dct):
             continue
 
         def _i(key: bytes, dflt: int) -> int:
@@ -710,12 +717,26 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
                 raise
             except ValueError:
                 continue  # per-stream pad corruption: skip this image
-        try:
-            bm = ccitt_codec.g3_decode(data, cols, rows=h, k=k,
-                                       byte_align=balign)
-        except ccitt_codec.CcittError:
-            continue  # corrupt raster degrades like a corrupt text stream
-        out.append(np.where(bm != 0, 0, 255).astype(np.uint8))
+        if is_ccitt:
+            try:
+                bm = ccitt_codec.g3_decode(data, cols, rows=h, k=k,
+                                           byte_align=balign)
+            except ccitt_codec.CcittError:
+                continue  # corrupt raster degrades like corrupt text
+            out.append((np.where(bm != 0, 0, 255).astype(np.uint8), "g4"))
+        else:
+            # /DCTDecode: the stream IS a complete JFIF payload
+            from docvision_spark.kernel.jpeg_codec import (ImageDecodeError,
+                                                           decode_jpeg)
+            try:
+                rgb = decode_jpeg(data)
+            except ImageDecodeError:
+                continue
+            gray = np.clip(np.round(
+                0.299 * rgb[:, :, 0].astype(np.float64)
+                + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]),
+                0, 255).astype(np.uint8)
+            out.append((gray, "jpeg"))
     return out
 
 

@@ -852,7 +852,9 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 15  # rev 15: bilevel CCITT TIFF slice (mid%13==7);
+_MCACHE_REV = 16  # rev 16: scanned-PDF slice gains /DCTDecode (jpeg)
+#                   variant (sseed%3==2 -> format pdf-jpeg);
+#                   rev 15: bilevel CCITT TIFF slice (mid%13==7);
 # rev 14: lossy VP8 rows pixel-decode (real luma/hashes);
 # rev 13: scanned-PDF (CCITT G4) media slice + pdf-g4
 # format group; rev 12: dtype=object guard — rev<=11 caches may carry

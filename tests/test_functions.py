@@ -640,11 +640,11 @@ def test_media_features_int64_hash_precision_partition_invariant(spark):
 
 @pytest.mark.spark
 def test_multimodal_scanned_pdf_features(spark):
-    """Scanned-PDF media rows (CCITT G4 raster in a PDF shell) decode to
-    real dims/luma/hashes with format pdf-g4; a noisy re-scan twin stays
-    within dhash hamming distance of its base so G4 rows join the m02
-    near-dup pool."""
-    from docvision_spark.corpus import make_scanned_pdf
+    """Scanned-PDF media rows (CCITT G4 or JPEG /DCTDecode raster in a
+    PDF shell) decode to real dims/luma/hashes with format pdf-g4 /
+    pdf-jpeg; a noisy re-scan twin stays within dhash hamming distance of
+    its base so scanned rows join the m02 near-dup pool."""
+    from docvision_spark.corpus import make_scanned_pdf, make_scanned_pdf_jpeg
     from docvision_spark.functions.multimodal import (
         MEDIA_SCHEMA, extract_media_features)
 
@@ -653,6 +653,8 @@ def test_multimodal_scanned_pdf_features(spark):
         (2, "image", make_scanned_pdf(29, noise=6)),   # re-scan twin
         (3, "image", make_scanned_pdf(30)),
         (4, "image", b"%PDF-1.4\nno images here\n%%EOF"),
+        (5, "image", make_scanned_pdf_jpeg(29)),
+        (6, "image", make_scanned_pdf_jpeg(29, noise=6)),  # jpeg twin
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in extract_media_features(df).collect()}
@@ -663,3 +665,8 @@ def test_multimodal_scanned_pdf_features(spark):
     assert ham <= 6, ham
     assert bin(out[1]["dhash"] ^ out[3]["dhash"]).count("1") > 6
     assert out[4]["error"] and "no decodable raster" in out[4]["error"]
+    assert out[5]["format"] == "pdf-jpeg" and out[5]["error"] is None
+    assert out[5]["width"] == 200 and out[5]["height"] == 260
+    assert out[5]["dhash"] is not None
+    ham_j = bin(out[5]["dhash"] ^ out[6]["dhash"]).count("1")
+    assert ham_j <= 6, ham_j
