@@ -479,8 +479,8 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                         mid, duration_s=1.0 + (mid % 7) / 2,
                         width=320 + 16 * (mid % 5), height=180 + 12 * (mid % 3))
                 elif mid % 23 == 6:
-                    # scanned-page PDF: real raster (CCITT G4 or, for
-                    # sseed % 3 == 2, grayscale JPEG /DCTDecode) inside a
+                    # scanned-page PDF: real raster — CCITT G4, grayscale
+                    # JPEG /DCTDecode, or embedded-JBIG2 MMR — inside a
                     # minimal PDF shell; near-dup twins planted within the
                     # slice (mid % 17 == 1 re-scans the previous scanned
                     # id, mid-23, with a few noise pixels) so raster rows
@@ -488,13 +488,16 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     # keys on sseed — the seed actually scanned — so a
                     # twin always re-encodes with its source's filter and
                     # the pair stays within one perceptual family.
-                    from docvision_spark.corpus import (make_scanned_pdf,
-                                                        make_scanned_pdf_jpeg)
+                    from docvision_spark.corpus import (
+                        make_scanned_pdf, make_scanned_pdf_jbig2,
+                        make_scanned_pdf_jpeg)
                     kind = "image"
                     sseed, snoise = ((mid - 23, 6)
                                      if mid % 17 == 1 and mid >= 23
                                      else (mid, 0))
-                    mk = (make_scanned_pdf_jpeg if sseed % 3 == 2
+                    v = sseed % 6
+                    mk = (make_scanned_pdf_jpeg if v in (2, 4)
+                          else make_scanned_pdf_jbig2 if v == 5
                           else make_scanned_pdf)
                     payload = mk(sseed, noise=snoise)
                 elif mid % 23 == 5:

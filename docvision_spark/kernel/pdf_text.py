@@ -671,10 +671,13 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
     scanned-doc encoding — plus K == 0 G3 1-D and K > 0 G3 mixed);
     /DCTDecode streams (fmt "jpeg") — the other encoding real scanners
     emit, for grayscale/photo scans — decode via kernel/jpeg_codec and
-    reduce to BT.601 luma. The reference rasterizes such pages via fitz
-    and OCRs them (reference processing/image.py:62-108); here the bitmap
-    itself feeds the media feature path. JBIG2 and JPX rasters are
-    skipped (their docs keep typed error/partial semantics elsewhere).
+    reduce to BT.601 luma. /JBIG2Decode streams (fmt "jbig2") decode via
+    kernel/jbig2_codec for MMR-coded generic regions (incl. a
+    /JBIG2Globals stream when referenced); arithmetic-coded JBIG2 and
+    JPX rasters are skipped (their docs keep typed error/partial
+    semantics elsewhere). The reference rasterizes all such pages via
+    fitz and OCRs them (reference processing/image.py:62-108); here the
+    bitmap itself feeds the media feature path.
     Ink is reported as gray 0 regardless of /BlackIs1 — that flag governs
     the written bit values, not the coding-domain black runs, and feature
     extraction wants ink. Raises PdfEncryptedError for locked docs, like
@@ -697,7 +700,8 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
             continue
         is_ccitt = b"/CCITTFaxDecode" in d
         is_dct = b"/DCTDecode" in d
-        if not (is_ccitt or is_dct):
+        is_jbig2 = b"/JBIG2Decode" in d
+        if not (is_ccitt or is_dct or is_jbig2):
             continue
 
         def _i(key: bytes, dflt: int) -> int:
@@ -724,6 +728,29 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
             except ccitt_codec.CcittError:
                 continue  # corrupt raster degrades like corrupt text
             out.append((np.where(bm != 0, 0, 255).astype(np.uint8), "g4"))
+        elif is_jbig2:
+            from docvision_spark.kernel.jbig2_codec import (Jbig2Error,
+                                                            decode_jbig2)
+            gdata = b""
+            gm = re.search(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", d)
+            if gm and int(gm.group(1)) in objs:
+                gid = int(gm.group(1))
+                gsm = _STREAM_RE.search(objs[gid])
+                if gsm:
+                    gdata = gsm.group(1)
+                    if crypt is not None:
+                        try:
+                            gdata = crypt.decrypt(gid, gdata)
+                        except PdfEncryptedError:
+                            raise
+                        except ValueError:
+                            gdata = b""
+            try:
+                bm = decode_jbig2(data, gdata)
+            except Jbig2Error:
+                continue  # arithmetic-coded / malformed: skip this raster
+            out.append((np.where(bm != 0, 0, 255).astype(np.uint8),
+                        "jbig2"))
         else:
             # /DCTDecode: the stream IS a complete JFIF payload
             from docvision_spark.kernel.jpeg_codec import (ImageDecodeError,

@@ -852,8 +852,10 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 16  # rev 16: scanned-PDF slice gains /DCTDecode (jpeg)
-#                   variant (sseed%3==2 -> format pdf-jpeg);
+_MCACHE_REV = 17  # rev 17: scanned-PDF slice variants key on sseed%6 —
+#                   {2,4} jpeg /DCTDecode, {5} embedded-JBIG2 MMR,
+#                   else CCITT G4 (formats pdf-jpeg/pdf-jbig2/pdf-g4);
+#                   rev 16: scanned-PDF slice gained /DCTDecode (jpeg);
 #                   rev 15: bilevel CCITT TIFF slice (mid%13==7);
 # rev 14: lossy VP8 rows pixel-decode (real luma/hashes);
 # rev 13: scanned-PDF (CCITT G4) media slice + pdf-g4

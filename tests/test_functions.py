@@ -644,7 +644,9 @@ def test_multimodal_scanned_pdf_features(spark):
     PDF shell) decode to real dims/luma/hashes with format pdf-g4 /
     pdf-jpeg; a noisy re-scan twin stays within dhash hamming distance of
     its base so scanned rows join the m02 near-dup pool."""
-    from docvision_spark.corpus import make_scanned_pdf, make_scanned_pdf_jpeg
+    from docvision_spark.corpus import (make_scanned_pdf,
+                                        make_scanned_pdf_jbig2,
+                                        make_scanned_pdf_jpeg)
     from docvision_spark.functions.multimodal import (
         MEDIA_SCHEMA, extract_media_features)
 
@@ -655,6 +657,7 @@ def test_multimodal_scanned_pdf_features(spark):
         (4, "image", b"%PDF-1.4\nno images here\n%%EOF"),
         (5, "image", make_scanned_pdf_jpeg(29)),
         (6, "image", make_scanned_pdf_jpeg(29, noise=6)),  # jpeg twin
+        (7, "image", make_scanned_pdf_jbig2(29)),
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in extract_media_features(df).collect()}
@@ -670,3 +673,8 @@ def test_multimodal_scanned_pdf_features(spark):
     assert out[5]["dhash"] is not None
     ham_j = bin(out[5]["dhash"] ^ out[6]["dhash"]).count("1")
     assert ham_j <= 6, ham_j
+    # JBIG2 raster of the same source bitmap is bit-identical to the G4
+    # decode -> identical features
+    assert out[7]["format"] == "pdf-jbig2" and out[7]["error"] is None
+    assert out[7]["dhash"] == out[1]["dhash"]
+    assert out[7]["mean_luma"] == out[1]["mean_luma"]

@@ -583,20 +583,22 @@ def test_scanned_pdf_slice_extracts_and_raster_decodes():
                                         url_seed)
     from docvision_spark.kernel.pdf_text import pdf_image_xobjects
 
-    scan_urls = [u for u in gen_urls(4000)
+    scan_urls = [u for u in gen_urls(6000)
                  if 97 <= url_seed("filter:" + u) % 100 < 99]
-    # cover both raster families: >=2 CCITT urls + >=1 DCT (jpeg) url
-    ccitt = [u for u in scan_urls if url_seed("scan:" + u) % 6 != 5][:2]
-    dct = [u for u in scan_urls if url_seed("scan:" + u) % 6 == 5][:1]
-    assert ccitt and dct
-    for url in ccitt + dct:
+    # cover all three raster families: CCITT (kind<=4), DCT/jpeg (5),
+    # embedded-JBIG2 MMR (6)
+    ccitt = [u for u in scan_urls if url_seed("scan:" + u) % 7 <= 4][:2]
+    dct = [u for u in scan_urls if url_seed("scan:" + u) % 7 == 5][:1]
+    jb2 = [u for u in scan_urls if url_seed("scan:" + u) % 7 == 6][:1]
+    assert ccitt and dct and jb2
+    for url in ccitt + dct + jb2:
         sseed = url_seed("scan:" + url)
         for kind in ("none", "aes"):
             pdf = make_pdf(url, random.Random(2), "en", force_encrypt=kind)
             imgs = pdf_image_xobjects(pdf)
             assert len(imgs) == 1, (url, kind)
             got, fmt = imgs[0]
-            if sseed % 6 == 5:
+            if sseed % 7 == 5:
                 # JPEG scan: lossy — luma close to the source grayscale
                 from docvision_spark.corpus import _scan_gray
                 want = _scan_gray(sseed)
@@ -605,16 +607,21 @@ def test_scanned_pdf_slice_extracts_and_raster_decodes():
                 assert float(err.mean()) < 8.0, (url, kind)
             else:
                 want = _scan_bitmap(sseed)
-                assert fmt == "g4" and got.shape == want.shape
+                assert fmt == ("jbig2" if sseed % 7 == 6 else "g4")
+                assert got.shape == want.shape
                 # bit-exact: ink (1) -> gray 0, paper -> 255
                 assert np.array_equal(got == 0, want == 1), (url, kind)
             r = extract(url, pdf)
             assert r.error is None and len(r.text) > 100, (url, kind)
     # a pure-raster doc (no text layer) has no extractable text: honest
     # pdf_no_pages, never a crash — the reference would OCR it
-    from docvision_spark.corpus import make_scanned_pdf, make_scanned_pdf_jpeg
+    from docvision_spark.corpus import (make_scanned_pdf,
+                                        make_scanned_pdf_jbig2,
+                                        make_scanned_pdf_jpeg)
     r = extract("u", make_scanned_pdf(7))
     assert r.error == "pdf_no_pages"
     assert len(pdf_image_xobjects(make_scanned_pdf(7))) == 1
     (gj, fj), = pdf_image_xobjects(make_scanned_pdf_jpeg(7))
     assert fj == "jpeg" and gj.shape == (260, 200)
+    (gb, fb), = pdf_image_xobjects(make_scanned_pdf_jbig2(7))
+    assert fb == "jbig2" and np.array_equal(gb == 0, _scan_bitmap(7) == 1)
