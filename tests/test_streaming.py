@@ -152,3 +152,75 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     batch_fps = {r["fp"] for r in batch.select(
         fingerprint_md5(F.col("text")).alias("fp")).distinct().collect()}
     assert {r["fp"] for r in got.select("fp").collect()} == batch_fps
+
+
+@pytest.mark.spark
+def test_stream_dedup_against_corpus(spark, tmp_path):
+    """Re-crawl mode on a live feed: rows whose fingerprint is already in
+    the published corpus (stream-static anti-join) drop, within-stream dups
+    drop, NULL-text rows pass through — composed semantics equal the batch
+    incremental_exact_dedup (i01) on the same input."""
+    import time
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docvision_spark.functions.text import fingerprint_md5
+    from docvision_spark.streaming.dedup import start_incremental_dedup_query
+
+    base = pd.Timestamp("2026-01-05 00:00:00")
+    fresh = [{"url": f"https://a.example.com/new{i}",
+              "warc_ts": base + pd.Timedelta(minutes=i),
+              "html": None, "text": f"fresh body {i}", "lang": "en"}
+             for i in range(8)]
+    recrawled = [{"url": f"https://a.example.com/old{i}",
+                  "warc_ts": base + pd.Timedelta(minutes=30 + i),
+                  "html": None, "text": f"published body {i}", "lang": "en"}
+                 for i in range(6)]
+    instream_dups = [{"url": f"https://mirror.example.org/new{i}",
+                      "warc_ts": base + pd.Timedelta(hours=1, minutes=i),
+                      "html": None, "text": f"fresh body {i}", "lang": "en"}
+                     for i in range(3)]
+    nulls = [{"url": "https://a.example.com/broken",
+              "warc_ts": base + pd.Timedelta(minutes=5),
+              "html": None, "text": None, "lang": "en"}]
+
+    feed = tmp_path / "inc_feed"
+    feed.mkdir()
+    now = time.time()
+    schema = pa.schema([("url", pa.string()), ("warc_ts", pa.timestamp("us")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    # 5 files with maxFilesPerTrigger=4: the mirror dups land in the SECOND
+    # micro-batch, after the originals' fingerprints are in state (within one
+    # micro-batch the surviving copy of a fp-tie is arbitrary).
+    chunks = [fresh[:4] + nulls, fresh[4:], recrawled[:3],
+              recrawled[3:], instream_dups]
+    for i, chunk in enumerate(chunks):
+        p = str(feed / f"part-{i:02d}.parquet")
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame(chunk), schema=schema), p)
+        os.utime(p, (now + i, now + i))
+
+    # the published corpus exposes the fingerprints of recrawled[*] texts
+    history = spark.createDataFrame(
+        pd.DataFrame({"text": [r["text"] for r in recrawled]})
+    ).select(fingerprint_md5(F.col("text")).alias("fp"))
+
+    out = str(tmp_path / "inc_out")
+    q = start_incremental_dedup_query(spark, str(feed), history, out,
+                                      str(tmp_path / "inc_ckpt"),
+                                      watermark="1 day")
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(out)
+    # survivors: 8 fresh + 1 null passthrough; history + in-stream dups drop
+    assert got.count() == 9
+    assert got.filter(F.col("fp").isNull()).count() == 1
+    assert got.filter(F.col("url").contains("mirror")).count() == 0
+    assert got.filter(F.col("url").contains("/old")).count() == 0
+    got_fps = {r["fp"] for r in got.filter(F.col("fp").isNotNull())
+                                   .select("fp").collect()}
+    want_fps = {r["fp"] for r in spark.createDataFrame(pd.DataFrame(fresh))
+                .select(fingerprint_md5(F.col("text")).alias("fp")).collect()}
+    assert got_fps == want_fps
