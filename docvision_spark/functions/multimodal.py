@@ -480,7 +480,8 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                         width=320 + 16 * (mid % 5), height=180 + 12 * (mid % 3))
                 elif mid % 23 == 6:
                     # scanned-page PDF: real raster — CCITT G4, grayscale
-                    # JPEG /DCTDecode, or embedded-JBIG2 MMR — inside a
+                    # JPEG /DCTDecode, embedded-JBIG2 MMR, or JPEG 2000
+                    # /JPXDecode — inside a
                     # minimal PDF shell; near-dup twins planted within the
                     # slice (mid % 17 == 1 re-scans the previous scanned
                     # id, mid-23, with a few noise pixels) so raster rows
@@ -490,16 +491,21 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     # the pair stays within one perceptual family.
                     from docvision_spark.corpus import (
                         make_scanned_pdf, make_scanned_pdf_jbig2,
-                        make_scanned_pdf_jpeg)
+                        make_scanned_pdf_jpeg, make_scanned_pdf_jpx)
                     kind = "image"
                     sseed, snoise = ((mid - 23, 6)
                                      if mid % 17 == 1 and mid >= 23
                                      else (mid, 0))
-                    v = sseed % 6
-                    mk = (make_scanned_pdf_jpeg if v in (2, 4)
-                          else make_scanned_pdf_jbig2 if v == 5
-                          else make_scanned_pdf)
-                    payload = mk(sseed, noise=snoise)
+                    v = sseed % 7
+                    if v == 5:
+                        # JBIG2 slice splits MMR vs MQ-arithmetic coding
+                        payload = make_scanned_pdf_jbig2(
+                            sseed, noise=snoise, arith=(sseed >> 3) % 2 == 1)
+                    else:
+                        mk = (make_scanned_pdf_jpeg if v in (2, 4)
+                              else make_scanned_pdf_jpx if v == 6
+                              else make_scanned_pdf)
+                        payload = mk(sseed, noise=snoise)
                 elif mid % 23 == 5:
                     kind = "image"
                     # both WebP families carry REAL pixels now: lossless

@@ -13,17 +13,24 @@ reference handles such pages by delegating to fitz + OCR (reference
 processing/image.py:62-108); here the bitmap itself feeds the media
 feature path (dims/luma/hashes).
 
-Out of scope, honestly typed: arithmetic-coded regions (MMR = 0 — the
-MQ coder of T.88 Annex E, whose 47-row Qe state table cannot be
-cross-checked offline), refinement/halftone/text regions and symbol
-dictionaries, intermediate regions, and unknown-length segments — all
-raise Jbig2Error, which upstream degrades to "skip this raster" (an
-image XObject) or the typed `pdf_unsupported_filter` error row (a
+Arithmetic-coded generic regions (MMR = 0) decode via the MQ coder of
+T.88 Annex E (kernel/mq_coder — its 47-row Qe table is transcribed from
+the spec listing and pinned in tests): all four GB templates with
+adaptive (AT) pixels at fixed context bit positions per the spec
+figures, and TPGDON typical-prediction rows. The TPGDON pseudo-pixel
+contexts per template (0x9B25/0x0795/0x00E5/0x0195) are the published
+constants of §6.2.5.7.
+
+Out of scope, honestly typed: refinement/halftone/text regions and
+symbol dictionaries, intermediate regions, and unknown-length segments
+— all raise Jbig2Error, which upstream degrades to "skip this raster"
+(an image XObject) or the typed `pdf_unsupported_filter` error row (a
 content stream), never a crash.
 
 The planting encoder (encode_jbig2) emits the same subset: page info +
-one immediate-lossless MMR generic region + end-of-page, so corpus
-round-trips exercise every branch the decoder owns.
+one immediate-lossless generic region (MMR or arithmetic template-0
+TPGDON via `arith=True`) + end-of-page, so corpus round-trips exercise
+every branch the decoder owns.
 """
 
 from __future__ import annotations
@@ -109,6 +116,112 @@ def _parse_segment_header(data: bytes, pos: int) -> tuple[dict, int]:
              "length": length}, pos)
 
 
+# Context bit position of each template pixel, per the T.88 §6.2.5.3
+# figures (fixed positions — a moved AT pixel keeps its nominal bit).
+# Tuples are (dx, dy, bit); "A<n>" marks the adaptive pixels.
+_TEMPLATES = {
+    0: ([(-1, 0, 0), (-2, 0, 1), (-3, 0, 2), (-4, 0, 3),
+         (2, -1, 5), (1, -1, 6), (0, -1, 7), (-1, -1, 8), (-2, -1, 9),
+         (1, -2, 12), (0, -2, 13), (-1, -2, 14)],
+        [(4, (3, -1)), (10, (-3, -1)), (11, (2, -2)), (15, (-2, -2))]),
+    1: ([(-1, 0, 0), (-2, 0, 1), (-3, 0, 2),
+         (2, -1, 4), (1, -1, 5), (0, -1, 6), (-1, -1, 7), (-2, -1, 8),
+         (2, -2, 9), (1, -2, 10), (0, -2, 11), (-1, -2, 12)],
+        [(3, (3, -1))]),
+    2: ([(-1, 0, 0), (-2, 0, 1),
+         (1, -1, 3), (0, -1, 4), (-1, -1, 5), (-2, -1, 6),
+         (1, -2, 7), (0, -2, 8), (-1, -2, 9)],
+        [(2, (2, -1))]),
+    3: ([(-1, 0, 0), (-2, 0, 1), (-3, 0, 2), (-4, 0, 3),
+         (1, -1, 5), (0, -1, 6), (-1, -1, 7), (-2, -1, 8), (-3, -1, 9)],
+        [(4, (2, -1))]),
+}
+_TPGDON_CTX = {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
+
+
+def _decode_generic_arith(data: bytes, w: int, h: int, tmpl: int,
+                          tpgdon: bool, at: list) -> np.ndarray:
+    """§6.2.5.7 generic region decoding procedure, MQ-coded."""
+    from docvision_spark.kernel.mq_coder import MqDecoder
+
+    fixed, at_slots = _TEMPLATES[tmpl]
+    pixels = fixed + [(dx, dy, bit)
+                      for (bit, _nominal), (dx, dy) in zip(at_slots, at)]
+    mq = MqDecoder(data)
+    dec = mq.decode
+    cx: dict = {}
+    bm = np.zeros((h, w), dtype=np.uint8)
+    rows = bm.tolist()  # python lists: ~3x faster pixel access than numpy
+    ltp = 0
+    ltp_cx = _TPGDON_CTX[tmpl]
+    for y in range(h):
+        if tpgdon:
+            st = cx.get(ltp_cx)
+            if st is None:
+                st = cx[ltp_cx] = [0, 0]
+            ltp ^= dec(st)
+            if ltp:
+                if y > 0:
+                    rows[y] = rows[y - 1][:]
+                continue
+        row = rows[y]
+        for x in range(w):
+            ctxv = 0
+            for dx, dy, bit in pixels:
+                xx, yy = x + dx, y + dy
+                if 0 <= yy < h and 0 <= xx < w and (yy < y or xx < x):
+                    if rows[yy][xx]:
+                        ctxv |= 1 << bit
+            st = cx.get(ctxv)
+            if st is None:
+                st = cx[ctxv] = [0, 0]
+            row[x] = dec(st)
+    return np.asarray(rows, dtype=np.uint8)
+
+
+def _encode_generic_arith(bitmap: np.ndarray, tmpl: int = 0,
+                          tpgdon: bool = True, at: list | None = None
+                          ) -> bytes:
+    """Mirror of _decode_generic_arith (AT pixels default nominal)."""
+    from docvision_spark.kernel.mq_coder import MqEncoder
+
+    h, w = bitmap.shape
+    fixed, at_slots = _TEMPLATES[tmpl]
+    if at is None:
+        at = [nominal for _bit, nominal in at_slots]
+    pixels = fixed + [(dx, dy, bit)
+                      for (bit, _nominal), (dx, dy) in zip(at_slots, at)]
+    mq = MqEncoder()
+    enc = mq.encode
+    cx: dict = {}
+    rows = bitmap.astype(np.uint8).tolist()
+    ltp = 0
+    ltp_cx = _TPGDON_CTX[tmpl]
+    for y in range(h):
+        if tpgdon:
+            same = y > 0 and rows[y] == rows[y - 1]
+            st = cx.get(ltp_cx)
+            if st is None:
+                st = cx[ltp_cx] = [0, 0]
+            enc(st, ltp ^ (1 if same else 0))
+            ltp = 1 if same else 0
+            if same:
+                continue
+        row = rows[y]
+        for x in range(w):
+            ctxv = 0
+            for dx, dy, bit in pixels:
+                xx, yy = x + dx, y + dy
+                if 0 <= yy < h and 0 <= xx < w and (yy < y or xx < x):
+                    if rows[yy][xx]:
+                        ctxv |= 1 << bit
+            st = cx.get(ctxv)
+            if st is None:
+                st = cx[ctxv] = [0, 0]
+            enc(st, row[x])
+    return mq.flush()
+
+
 def _decode_generic_region(body: bytes) -> tuple[np.ndarray, int, int, int]:
     """Immediate generic region body -> (bitmap 1=black, x, y, comb_op)."""
     if len(body) < 18:
@@ -117,11 +230,25 @@ def _decode_generic_region(body: bytes) -> tuple[np.ndarray, int, int, int]:
     comb_op = body[16] & 0x07  # §7.4.1.5 external combination operator
     gflags = body[17]          # §7.4.6.2
     mmr = gflags & 0x01
-    if not mmr:
-        raise Jbig2Error("jbig2: arithmetic-coded generic region "
-                         "(MQ coder) unsupported")
     if w == 0 or h == 0 or w * h > _MAX_PIXELS:
         raise Jbig2Error("jbig2: region dimensions out of budget")
+    if not mmr:
+        tmpl = (gflags >> 1) & 0x03
+        tpgdon = bool(gflags & 0x08)
+        n_at = 4 if tmpl == 0 else 1
+        if len(body) < 18 + 2 * n_at:
+            raise Jbig2Error("jbig2: truncated AT pixel list")
+        at = [struct.unpack_from(">bb", body, 18 + 2 * i)
+              for i in range(n_at)]
+        for dx, dy in at:
+            if dy > 0 or (dy == 0 and dx >= 0):
+                raise Jbig2Error("jbig2: non-causal AT pixel")
+        # pure-Python MQ pixel loop: tighter budget than the MMR path
+        if w * h > _MAX_PIXELS >> 6:
+            raise Jbig2Error("jbig2: arithmetic region out of budget")
+        bm = _decode_generic_arith(body[18 + 2 * n_at:], w, h, tmpl,
+                                   tpgdon, at)
+        return bm, x, y, comb_op
     # MMR=1: no AT pixels follow the flags byte (§7.4.6.3); the rest of
     # the body is T.4/T.6 MMR data
     try:
@@ -197,18 +324,26 @@ def _segment(number: int, seg_type: int, page: int, body: bytes) -> bytes:
             + struct.pack(">I", len(body)) + body)
 
 
-def encode_jbig2(bitmap: np.ndarray) -> bytes:
+def encode_jbig2(bitmap: np.ndarray, arith: bool = False) -> bytes:
     """Encode a 1-bit (H, W) bitmap (1 = black) as an embedded-organization
-    JBIG2 stream: page info + one immediate-lossless MMR generic region +
-    end-of-page — the exact subset decode_jbig2 owns (planting encoder)."""
+    JBIG2 stream: page info + one immediate-lossless generic region +
+    end-of-page — the exact subset decode_jbig2 owns (planting encoder).
+    `arith=True` codes the region with the MQ coder (template 0, nominal
+    AT pixels, TPGDON) instead of MMR."""
     h, w = bitmap.shape
     page_info = (struct.pack(">IIII", w, h, 0, 0)
                  + bytes([0x01])        # §7.4.8.5: lossless, default pixel 0
                  + struct.pack(">H", 0))
+    if arith:
+        at = b"".join(struct.pack(">bb", dx, dy)
+                      for _bit, (dx, dy) in _TEMPLATES[0][1])
+        coded = bytes([0x08]) + at \
+            + _encode_generic_arith(np.asarray(bitmap, dtype=np.uint8))
+    else:
+        coded = bytes([0x01]) + g4_encode(bitmap)  # generic flags: MMR=1
     region = (struct.pack(">IIII", w, h, 0, 0)
               + bytes([0x00])           # external comb op OR
-              + bytes([0x01])           # generic flags: MMR=1
-              + g4_encode(bitmap))
+              + coded)
     return (_segment(0, _TYPE_PAGE_INFO, 1, page_info)
             + _segment(1, _TYPE_IMMEDIATE_LOSSLESS_GENERIC, 1, region)
             + _segment(2, _TYPE_END_OF_PAGE, 1, b""))

@@ -673,8 +673,10 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
     emit, for grayscale/photo scans — decode via kernel/jpeg_codec and
     reduce to BT.601 luma. /JBIG2Decode streams (fmt "jbig2") decode via
     kernel/jbig2_codec for MMR-coded generic regions (incl. a
-    /JBIG2Globals stream when referenced); arithmetic-coded JBIG2 and
-    JPX rasters are skipped (their docs keep typed error/partial
+    /JBIG2Globals stream when referenced); /JPXDecode streams (fmt
+    "jpx") decode via kernel/jp2_codec for reversible-5/3 JPEG 2000 in
+    JP2-box or raw-codestream form (9/7 irreversible and arithmetic-
+    coded JBIG2 are skipped — their docs keep typed error/partial
     semantics elsewhere). The reference rasterizes all such pages via
     fitz and OCRs them (reference processing/image.py:62-108); here the
     bitmap itself feeds the media feature path.
@@ -701,7 +703,8 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
         is_ccitt = b"/CCITTFaxDecode" in d
         is_dct = b"/DCTDecode" in d
         is_jbig2 = b"/JBIG2Decode" in d
-        if not (is_ccitt or is_dct or is_jbig2):
+        is_jpx = b"/JPXDecode" in d
+        if not (is_ccitt or is_dct or is_jbig2 or is_jpx):
             continue
 
         def _i(key: bytes, dflt: int) -> int:
@@ -751,6 +754,20 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
                 continue  # arithmetic-coded / malformed: skip this raster
             out.append((np.where(bm != 0, 0, 255).astype(np.uint8),
                         "jbig2"))
+        elif is_jpx:
+            # /JPXDecode: JPEG 2000 — JP2 box format or raw codestream
+            from docvision_spark.kernel.jp2_codec import (Jp2Error,
+                                                          decode_jp2)
+            try:
+                img = decode_jp2(data)
+            except Jp2Error:
+                continue  # out-of-subset (9/7, multi-tile) or corrupt
+            if img.ndim == 3:
+                img = np.clip(np.round(
+                    0.299 * img[:, :, 0].astype(np.float64)
+                    + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]),
+                    0, 255).astype(np.uint8)
+            out.append((img, "jpx"))
         else:
             # /DCTDecode: the stream IS a complete JFIF payload
             from docvision_spark.kernel.jpeg_codec import (ImageDecodeError,

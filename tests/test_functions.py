@@ -646,7 +646,8 @@ def test_multimodal_scanned_pdf_features(spark):
     its base so scanned rows join the m02 near-dup pool."""
     from docvision_spark.corpus import (make_scanned_pdf,
                                         make_scanned_pdf_jbig2,
-                                        make_scanned_pdf_jpeg)
+                                        make_scanned_pdf_jpeg,
+                                        make_scanned_pdf_jpx)
     from docvision_spark.functions.multimodal import (
         MEDIA_SCHEMA, extract_media_features)
 
@@ -658,6 +659,8 @@ def test_multimodal_scanned_pdf_features(spark):
         (5, "image", make_scanned_pdf_jpeg(29)),
         (6, "image", make_scanned_pdf_jpeg(29, noise=6)),  # jpeg twin
         (7, "image", make_scanned_pdf_jbig2(29)),
+        (8, "image", make_scanned_pdf_jpx(29)),
+        (9, "image", make_scanned_pdf_jpx(29, noise=6)),   # jpx twin
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in extract_media_features(df).collect()}
@@ -678,3 +681,10 @@ def test_multimodal_scanned_pdf_features(spark):
     assert out[7]["format"] == "pdf-jbig2" and out[7]["error"] is None
     assert out[7]["dhash"] == out[1]["dhash"]
     assert out[7]["mean_luma"] == out[1]["mean_luma"]
+    # JPEG 2000 raster decodes losslessly; its noisy re-scan twin stays
+    # within dhash range like the other raster families
+    assert out[8]["format"] == "pdf-jpx" and out[8]["error"] is None
+    assert out[8]["width"] == 200 and out[8]["height"] == 260
+    assert abs(out[8]["mean_luma"] - out[5]["mean_luma"]) < 4.0
+    ham_x = bin(out[8]["dhash"] ^ out[9]["dhash"]).count("1")
+    assert ham_x <= 6, ham_x

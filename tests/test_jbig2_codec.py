@@ -140,25 +140,97 @@ def test_globals_stream_page_info():
     assert np.array_equal(decode_jbig2(main, globals_data=glob), bm)
 
 
-@pytest.mark.parametrize("mutate,msg", [
-    (lambda s: s[:46] + bytes([s[46] & 0xFE]) + s[47:], "arithmetic"),
-    (None, None),
-])
-def test_arithmetic_and_foreign_types_rejected(mutate, msg):
+def test_foreign_types_rejected():
     bm = _bitmap()
     enc = encode_jbig2(bm)
-    if mutate is not None:
-        # clear the MMR bit of the generic-region flags byte
-        off = 11 + 19 + 11 + 17
-        assert enc[off] == 0x01
-        bad = enc[:off] + b"\x00" + enc[off + 1:]
-        with pytest.raises(Jbig2Error, match=msg):
-            decode_jbig2(bad)
-    else:
-        # a symbol-dictionary segment (type 0) is out of subset
-        data = _segment(0, 0, 1, b"\x00" * 8) + enc
-        with pytest.raises(Jbig2Error, match="unsupported"):
-            decode_jbig2(data)
+    # a symbol-dictionary segment (type 0) is out of subset
+    data = _segment(0, 0, 1, b"\x00" * 8) + enc
+    with pytest.raises(Jbig2Error, match="unsupported"):
+        decode_jbig2(data)
+    # an MMR body reinterpreted as arithmetic (MMR bit cleared) must
+    # stay total: typed rejection or garbage pixels, never a crash
+    off = 11 + 19 + 11 + 17
+    assert enc[off] == 0x01
+    bad = enc[:off] + b"\x00" + enc[off + 1:]
+    try:
+        out = decode_jbig2(bad)
+        assert isinstance(out, np.ndarray)
+    except Jbig2Error:
+        pass
+
+
+def test_arith_roundtrip_exact():
+    bm = _bitmap()
+    data = encode_jbig2(bm, arith=True)
+    assert np.array_equal(decode_jbig2(data), bm)
+    # arithmetic coding with TPGDON beats MMR on a real ruled-text page
+    from docvision_spark.corpus import _scan_bitmap
+    page = _scan_bitmap(29)
+    assert np.array_equal(decode_jbig2(encode_jbig2(page, arith=True)), page)
+    assert len(encode_jbig2(page, arith=True)) < len(encode_jbig2(page))
+
+
+def test_arith_roundtrip_random_shapes():
+    rng = np.random.default_rng(17)
+    for _ in range(6):
+        w, h = int(rng.integers(1, 50)), int(rng.integers(1, 50))
+        b = (rng.random((h, w)) < rng.random() * 0.9).astype(np.uint8)
+        assert np.array_equal(decode_jbig2(encode_jbig2(b, arith=True)), b)
+
+
+@pytest.mark.parametrize("tmpl", [0, 1, 2, 3])
+@pytest.mark.parametrize("tpgdon", [False, True])
+def test_arith_all_templates_internal(tmpl, tpgdon):
+    from docvision_spark.kernel.jbig2_codec import (_TEMPLATES,
+                                                    _decode_generic_arith,
+                                                    _encode_generic_arith)
+    rng = np.random.default_rng(3 * tmpl + tpgdon)
+    bm = (rng.random((40, 33)) < 0.3).astype(np.uint8)
+    bm[10:14] = bm[9]  # repeated rows exercise TPGDON's LTP path
+    at = [nominal for _bit, nominal in _TEMPLATES[tmpl][1]]
+    coded = _encode_generic_arith(bm, tmpl, tpgdon)
+    out = _decode_generic_arith(coded, 33, 40, tmpl, tpgdon, at)
+    assert np.array_equal(out, bm)
+
+
+def test_arith_non_nominal_at_pixels():
+    from docvision_spark.kernel.jbig2_codec import (_decode_generic_arith,
+                                                    _encode_generic_arith)
+    rng = np.random.default_rng(9)
+    bm = (rng.random((30, 41)) < 0.4).astype(np.uint8)
+    at = [(-1, -2), (1, -2), (-5, 0), (2, -2)]  # all causal, non-nominal
+    coded = _encode_generic_arith(bm, 0, True, at=at)
+    out = _decode_generic_arith(coded, 41, 30, 0, True, at)
+    assert np.array_equal(out, bm)
+
+
+def test_arith_non_causal_at_rejected():
+    bm = _bitmap()
+    enc = encode_jbig2(bm, arith=True)
+    # first AT byte pair lives right after the 18-byte region info; force
+    # dy=0, dx=+1 (the current-row future pixel) -> rejected
+    off = 11 + 19 + 11 + 18
+    bad = enc[:off] + struct.pack(">bb", 1, 0) + enc[off + 2:]
+    with pytest.raises(Jbig2Error, match="non-causal"):
+        decode_jbig2(bad)
+
+
+def test_arith_truncated_stream_total():
+    bm = _bitmap()
+    enc = encode_jbig2(bm, arith=True)
+    # chop the MQ payload: decode must stay total (the MQ decoder's
+    # endless-1-fill) and keep the declared dimensions
+    body_cut = enc[: len(enc) - 15]
+    try:
+        out = decode_jbig2(body_cut)
+        assert isinstance(out, np.ndarray)
+    except Jbig2Error:
+        pass
+
+
+def test_tpgdon_context_pins():
+    from docvision_spark.kernel.jbig2_codec import _TPGDON_CTX
+    assert _TPGDON_CTX == {0: 0x9B25, 1: 0x0795, 2: 0x00E5, 3: 0x0195}
 
 
 def test_unknown_length_and_truncation_rejected():

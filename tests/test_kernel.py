@@ -585,29 +585,36 @@ def test_scanned_pdf_slice_extracts_and_raster_decodes():
 
     scan_urls = [u for u in gen_urls(6000)
                  if 97 <= url_seed("filter:" + u) % 100 < 99]
-    # cover all three raster families: CCITT (kind<=4), DCT/jpeg (5),
-    # embedded-JBIG2 MMR (6)
-    ccitt = [u for u in scan_urls if url_seed("scan:" + u) % 7 <= 4][:2]
-    dct = [u for u in scan_urls if url_seed("scan:" + u) % 7 == 5][:1]
-    jb2 = [u for u in scan_urls if url_seed("scan:" + u) % 7 == 6][:1]
-    assert ccitt and dct and jb2
-    for url in ccitt + dct + jb2:
+    # cover all four raster families: CCITT (kind<=4), DCT/jpeg (5),
+    # embedded-JBIG2 MMR (6), JPEG 2000 /JPXDecode (7)
+    ccitt = [u for u in scan_urls if url_seed("scan:" + u) % 8 <= 4][:2]
+    dct = [u for u in scan_urls if url_seed("scan:" + u) % 8 == 5][:1]
+    jb2 = [u for u in scan_urls if url_seed("scan:" + u) % 8 == 6][:1]
+    jpx = [u for u in scan_urls if url_seed("scan:" + u) % 8 == 7][:1]
+    assert ccitt and dct and jb2 and jpx
+    for url in ccitt + dct + jb2 + jpx:
         sseed = url_seed("scan:" + url)
         for kind in ("none", "aes"):
             pdf = make_pdf(url, random.Random(2), "en", force_encrypt=kind)
             imgs = pdf_image_xobjects(pdf)
             assert len(imgs) == 1, (url, kind)
             got, fmt = imgs[0]
-            if sseed % 7 == 5:
+            if sseed % 8 == 5:
                 # JPEG scan: lossy — luma close to the source grayscale
                 from docvision_spark.corpus import _scan_gray
                 want = _scan_gray(sseed)
                 assert fmt == "jpeg" and got.shape == want.shape
                 err = np.abs(got.astype(int) - want.astype(int))
                 assert float(err.mean()) < 8.0, (url, kind)
+            elif sseed % 8 == 7:
+                # JPEG 2000 scan: reversible 5/3 — bit-exact grayscale
+                from docvision_spark.corpus import _scan_gray
+                want = _scan_gray(sseed)
+                assert fmt == "jpx", (url, kind)
+                assert np.array_equal(got, want), (url, kind)
             else:
                 want = _scan_bitmap(sseed)
-                assert fmt == ("jbig2" if sseed % 7 == 6 else "g4")
+                assert fmt == ("jbig2" if sseed % 8 == 6 else "g4")
                 assert got.shape == want.shape
                 # bit-exact: ink (1) -> gray 0, paper -> 255
                 assert np.array_equal(got == 0, want == 1), (url, kind)
@@ -615,9 +622,10 @@ def test_scanned_pdf_slice_extracts_and_raster_decodes():
             assert r.error is None and len(r.text) > 100, (url, kind)
     # a pure-raster doc (no text layer) has no extractable text: honest
     # pdf_no_pages, never a crash — the reference would OCR it
-    from docvision_spark.corpus import (make_scanned_pdf,
+    from docvision_spark.corpus import (_scan_gray, make_scanned_pdf,
                                         make_scanned_pdf_jbig2,
-                                        make_scanned_pdf_jpeg)
+                                        make_scanned_pdf_jpeg,
+                                        make_scanned_pdf_jpx)
     r = extract("u", make_scanned_pdf(7))
     assert r.error == "pdf_no_pages"
     assert len(pdf_image_xobjects(make_scanned_pdf(7))) == 1
@@ -625,3 +633,5 @@ def test_scanned_pdf_slice_extracts_and_raster_decodes():
     assert fj == "jpeg" and gj.shape == (260, 200)
     (gb, fb), = pdf_image_xobjects(make_scanned_pdf_jbig2(7))
     assert fb == "jbig2" and np.array_equal(gb == 0, _scan_bitmap(7) == 1)
+    (gx, fx), = pdf_image_xobjects(make_scanned_pdf_jpx(7))
+    assert fx == "jpx" and np.array_equal(gx, _scan_gray(7))
