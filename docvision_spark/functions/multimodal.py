@@ -127,6 +127,11 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
         bm = (luma < 128).astype(np.uint8)
         comp = ("g4", "g3", "g3-2d", "mh")[seed % 4]
         return encode_tiff_bilevel(bm, compression=comp)
+    if fmt == "jp2":
+        from docvision_spark.kernel.jp2_codec import encode_jp2
+        # reversible 5/3 RGB (RCT); alternate raw codestream / JP2 box
+        # and decomposition depth by seed
+        return encode_jp2(img, levels=1 + seed % 3, wrap=bool(seed % 2))
     if fmt == "webp":
         from docvision_spark.kernel.vp8l_codec import vp8l_encode
         # lossless VP8L; alternate the subtract-green transform by seed
@@ -523,6 +528,7 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                            else "gif" if mid % 13 == 3
                            else "tiff" if mid % 13 == 5
                            else "tiff-bilevel" if mid % 13 == 7
+                           else "jp2" if mid % 13 == 9
                            else "jpeg" if mid % 7 in (2, 4) else "png")
                     payload = make_synthetic_image(seed, w, h, noise=noise, fmt=fmt)
                 out.append({"media_id": mid, "kind": kind, "payload": payload})

@@ -435,6 +435,17 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         from docvision_spark.kernel.vp8l_codec import webp_decode
         return webp_decode(data), "webp"
+    if data[:4] == b"\xff\x4f\xff\x51" or data[:12] == (
+            b"\x00\x00\x00\x0cjP  \r\n\x87\n"):
+        # JPEG 2000: raw codestream or JP2 box format (kernel/jp2_codec)
+        from docvision_spark.kernel.jp2_codec import Jp2Error, decode_jp2
+        try:
+            img = decode_jp2(data)
+        except Jp2Error as e:
+            raise ImageDecodeError(f"jp2: {e}") from e
+        if img.ndim == 2:
+            img = np.stack([img, img, img], axis=-1)
+        return img[:, :, :3], "jp2"
     raise ImageDecodeError("unknown image format")
 
 

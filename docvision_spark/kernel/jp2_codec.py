@@ -1010,118 +1010,142 @@ def _decode_jp2(data: bytes):
 # ---------------------------------------------------------------------------
 # Encoder (planting subset: 1 component, 1 layer, LRCP, all passes)
 
-def encode_jp2(gray, levels: int = 2, cb_exp: int = 6,
+def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
                wrap: bool = False) -> bytes:
-    """Encode a (H, W) uint8 array as a reversible JPEG 2000 codestream
-    (`wrap=True` adds the JP2 box format). decode_jp2(encode_jp2(a))
-    round-trips exactly — 5/3 with no quantization is lossless."""
-    gray = np.asarray(gray, dtype=np.uint8)
-    if gray.ndim != 2 or gray.size == 0:
-        raise Jp2Error("encoder expects a non-empty 2D array")
-    h, w = gray.shape
+    """Encode a (H, W) grayscale or (H, W, 3) RGB uint8 array as a
+    reversible JPEG 2000 codestream (`wrap=True` adds the JP2 box
+    format). RGB goes through the reversible color transform (RCT,
+    MCT=1). decode_jp2(encode_jp2(a)) round-trips exactly — 5/3 with
+    no quantization is lossless."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        comps = [img.astype(np.int32) - 128]
+        mct = 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r_ = img[:, :, 0].astype(np.int32) - 128
+        g_ = img[:, :, 1].astype(np.int32) - 128
+        b_ = img[:, :, 2].astype(np.int32) - 128
+        # T.800 G.2 reversible color transform (exact inverse in decode)
+        comps = [(r_ + 2 * g_ + b_) >> 2, b_ - g_, r_ - g_]
+        mct = 1
+    else:
+        raise Jp2Error("encoder expects (H, W) or (H, W, 3) uint8")
+    if img.size == 0:
+        raise Jp2Error("encoder expects a non-empty array")
+    h, w = img.shape[:2]
+    ncomp = len(comps)
     nl = max(0, min(int(levels), 6))
     cbw = cbh = 1 << cb_exp
     guard = 2
 
-    # forward DWT
-    a = gray.astype(np.int32) - 128
-    planes = []
-    ll = a
-    for _d in range(nl):
-        ll, hl, lh, hh = _fwd53_2d(ll)
-        planes.append((hl, lh, hh))
-    band_data = {(0, "LL"): ll}
-    for r in range(1, nl + 1):
-        hl, lh, hh = planes[nl - r]
-        band_data[(r, "HL")] = hl
-        band_data[(r, "LH")] = lh
-        band_data[(r, "HH")] = hh
-
+    # forward DWT per component
     layout = _band_layout(w, h, nl)
+    comp_band_data = []
+    for a in comps:
+        planes = []
+        ll = a
+        for _d in range(nl):
+            ll, hl, lh, hh = _fwd53_2d(ll)
+            planes.append((hl, lh, hh))
+        band_data = {(0, "LL"): ll}
+        for r in range(1, nl + 1):
+            hl, lh, hh = planes[nl - r]
+            band_data[(r, "HL")] = hl
+            band_data[(r, "LH")] = lh
+            band_data[(r, "HH")] = hh
+        comp_band_data.append(band_data)
+
+    # per-band exponents: QCD covers every component (no QCC), so take
+    # the max dynamic range across components per band
     exps = []
-    bands_struct = []
     for r, bands in enumerate(layout):
-        row = []
         for (name, bw, bh) in bands:
-            data = band_data[(r, name)]
-            assert data.shape == (bh, bw), (name, data.shape, (bh, bw))
-            maxmag = int(np.abs(data).max()) if data.size else 0
+            maxmag = 0
+            for band_data in comp_band_data:
+                data = band_data[(r, name)]
+                assert data.shape == (bh, bw), (name, data.shape, (bh, bw))
+                if data.size:
+                    maxmag = max(maxmag, int(np.abs(data).max()))
             nbits = max(1, maxmag.bit_length())
-            eps = max(1, nbits - guard + 1)
-            mb = eps + guard - 1
-            exps.append(eps)
-            band = _Band(name, bw, bh, mb, cbw, cbh)
-            row.append((band, data))
-        bands_struct.append(row)
+            exps.append(max(1, nbits - guard + 1))
 
-    # tier-1 encode all code-blocks; build per-band tag-tree values
-    for row in bands_struct:
-        for band, data in row:
-            incl_vals = []
-            zb_vals = []
-            for cb in band.cbs:
-                blk = data[cb.y:cb.y + cb.h, cb.x:cb.x + cb.w]
-                res = _t1_encode(blk, band.mb, _ORIENT[band.name])
-                if res is None:
-                    incl_vals.append(1)   # never included (1 layer)
-                    zb_vals.append(0)
-                else:
-                    cb.zb, cb.npasses, cb.data = res
-                    cb.included = True
-                    incl_vals.append(0)
-                    zb_vals.append(cb.zb)
-            band.incl_tree.set_values(incl_vals)
-            band.zb_tree.set_values(zb_vals)
+    # tier-1 encode all code-blocks; per-(comp, band) tag trees
+    comp_bands = []
+    for c in range(ncomp):
+        bands_struct = []
+        ei = 0
+        for r, bands in enumerate(layout):
+            row = []
+            for (name, bw, bh) in bands:
+                mb = exps[ei] + guard - 1
+                ei += 1
+                data = comp_band_data[c][(r, name)]
+                band = _Band(name, bw, bh, mb, cbw, cbh)
+                incl_vals = []
+                zb_vals = []
+                for cb in band.cbs:
+                    blk = data[cb.y:cb.y + cb.h, cb.x:cb.x + cb.w]
+                    res = _t1_encode(blk, band.mb, _ORIENT[band.name])
+                    if res is None:
+                        incl_vals.append(1)   # never included (1 layer)
+                        zb_vals.append(0)
+                    else:
+                        cb.zb, cb.npasses, cb.data = res
+                        cb.included = True
+                        incl_vals.append(0)
+                        zb_vals.append(cb.zb)
+                band.incl_tree.set_values(incl_vals)
+                band.zb_tree.set_values(zb_vals)
+                row.append(band)
+            bands_struct.append(row)
+        comp_bands.append(bands_struct)
 
-    # tier-2: one packet per resolution (LRCP, 1 layer, 1 comp)
+    # tier-2: one packet per (resolution, component) — LRCP, 1 layer
     body = bytearray()
     for r in range(nl + 1):
-        wtr = _HdrWriter()
-        included = [
-            (band, cb, idx)
-            for band, _data in bands_struct[r]
-            for idx, cb in enumerate(band.cbs) if cb.included
-        ]
-        if not included:
-            wtr.bit(0)
-            body += wtr.flush()
-            continue
-        wtr.bit(1)
-        for band, _data in bands_struct[r]:
-            for idx, cb in enumerate(band.cbs):
-                cbx, cby = idx % band.ncx, idx // band.ncx
-                band.incl_tree.encode(cbx, cby, 1, wtr.bit)
-                if not cb.included:
-                    continue
-                t = 1
-                while True:
-                    band.zb_tree.encode(cbx, cby, t, wtr.bit)
-                    if cb.zb < t:
-                        break
-                    t += 1
-                _write_npasses(wtr, cb.npasses)
-                nbits = cb.lblock + int(math.floor(math.log2(cb.npasses)))
-                while len(cb.data) >= (1 << nbits):
-                    wtr.bit(1)
-                    cb.lblock += 1
-                    nbits += 1
+        for c in range(ncomp):
+            wtr = _HdrWriter()
+            if not any(cb.included for band in comp_bands[c][r]
+                       for cb in band.cbs):
                 wtr.bit(0)
-                wtr.write(len(cb.data), nbits)
-        body += wtr.flush()
-        for band, _data in bands_struct[r]:
-            for cb in band.cbs:
-                if cb.included:
-                    body += cb.data
+                body += wtr.flush()
+                continue
+            wtr.bit(1)
+            for band in comp_bands[c][r]:
+                for idx, cb in enumerate(band.cbs):
+                    cbx, cby = idx % band.ncx, idx // band.ncx
+                    band.incl_tree.encode(cbx, cby, 1, wtr.bit)
+                    if not cb.included:
+                        continue
+                    t = 1
+                    while True:
+                        band.zb_tree.encode(cbx, cby, t, wtr.bit)
+                        if cb.zb < t:
+                            break
+                        t += 1
+                    _write_npasses(wtr, cb.npasses)
+                    nbits = cb.lblock + int(
+                        math.floor(math.log2(cb.npasses)))
+                    while len(cb.data) >= (1 << nbits):
+                        wtr.bit(1)
+                        cb.lblock += 1
+                        nbits += 1
+                    wtr.bit(0)
+                    wtr.write(len(cb.data), nbits)
+            body += wtr.flush()
+            for band in comp_bands[c][r]:
+                for cb in band.cbs:
+                    if cb.included:
+                        body += cb.data
 
     # markers
     out = bytearray()
     out += struct.pack(">H", _SOC)
-    ncomp = 1
     siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, ncomp)
-    siz += bytes([7, 1, 1])
+    siz += bytes([7, 1, 1]) * ncomp
     out += struct.pack(">HH", _SIZ, 2 + len(siz)) + siz
     spcod = bytes([nl, cb_exp - 2, cb_exp - 2, 0, 1])
-    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes([0]) + spcod
+    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes([mct]) + spcod
     out += struct.pack(">HH", _COD, 2 + len(cod)) + cod
     qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += struct.pack(">HH", _QCD, 2 + len(qcd)) + qcd
@@ -1130,15 +1154,16 @@ def encode_jp2(gray, levels: int = 2, cb_exp: int = 6,
     out += struct.pack(">H", _SOD) + body
     out += struct.pack(">H", _EOC)
     cs = bytes(out)
-    return _wrap_jp2(cs, w, h) if wrap else cs
+    return _wrap_jp2(cs, w, h, ncomp) if wrap else cs
 
 
-def _wrap_jp2(cs: bytes, w: int, h: int) -> bytes:
+def _wrap_jp2(cs: bytes, w: int, h: int, ncomp: int = 1) -> bytes:
     def box(btype: bytes, payload: bytes) -> bytes:
         return struct.pack(">I", 8 + len(payload)) + btype + payload
 
     ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
-    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, 1, 7, 7, 0, 0))
-    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(">I", 17))
+    ihdr = box(b"ihdr", struct.pack(">IIHBBBB", h, w, ncomp, 7, 7, 0, 0))
+    enum_cs = 16 if ncomp == 3 else 17  # sRGB / greyscale
+    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(">I", enum_cs))
     jp2h = box(b"jp2h", ihdr + colr)
     return _JP2_SIG + ftyp + jp2h + box(b"jp2c", cs)

@@ -852,7 +852,10 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 18  # rev 18: scanned-PDF slice adds /JPXDecode (JPEG 2000
+_MCACHE_REV = 19  # rev 19: standalone JPEG 2000 image family (mid%13==9
+#                   -> fmt jp2: RGB RCT, raw codestream / JP2 box by
+#                   seed) joins the image pool;
+#                   rev 18: scanned-PDF slice adds /JPXDecode (JPEG 2000
 #                   5/3, kernel/jp2_codec) — variants key on sseed%7:
 #                   {2,4} jpeg, {5} jbig2, {6} jpx, else CCITT G4;
 #                   rev 17: scanned-PDF slice variants key on sseed%6 —

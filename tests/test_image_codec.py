@@ -130,6 +130,24 @@ def test_decode_image_dispatch():
         decode_image(b"\xff\xd8\xff jpeg needs a DCT decoder")
 
 
+def test_decode_image_jp2():
+    from docvision_spark.kernel.jp2_codec import encode_jp2
+
+    img = _rand((24, 18, 3))
+    # raw codestream and JP2 box format both dispatch; RGB is lossless
+    for wrap in (False, True):
+        out, fmt = decode_image(encode_jp2(img, levels=2, wrap=wrap))
+        assert fmt == "jp2" and (out == img).all()
+    # grayscale decodes to a stacked-RGB array like the other gray paths
+    gray = _rand((15, 11))
+    out, fmt = decode_image(encode_jp2(gray, levels=1))
+    assert fmt == "jp2" and out.shape == (15, 11, 3)
+    assert (out[:, :, 0] == gray).all() and (out[:, :, 1] == gray).all()
+    # corrupt codestream -> typed ImageDecodeError, not Jp2Error
+    with pytest.raises(ImageDecodeError, match="jp2"):
+        decode_image(b"\xff\x4f\xff\x51" + b"\x00" * 16)
+
+
 # ------------------------------------------------------------------- GIF ----
 
 @pytest.mark.parametrize("interlace", [False, True])
