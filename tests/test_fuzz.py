@@ -103,7 +103,8 @@ def test_decode_image_total_on_garbage(data):
     try:
         rgb, fmt = decode_image(data)
         assert rgb.ndim == 3 and rgb.shape[2] == 3
-        assert fmt in ("png", "bmp", "pnm", "gif", "jpeg", "tiff", "webp")
+        assert fmt in ("png", "bmp", "pnm", "gif", "jpeg", "tiff", "webp",
+                       "jp2")
     except ImageDecodeError:
         pass
 
@@ -112,7 +113,8 @@ def test_decode_image_total_on_garbage(data):
 @given(data=st.binary(max_size=512), prefix=st.sampled_from(
     [b"\x89PNG\r\n\x1a\n", b"BM", b"P6 ", b"P5\n", b"GIF89a", b"GIF87a",
      b"\xFF\xD8\xFF\xE0", b"\xFF\xD8\xFF\xDB", b"II*\x00", b"MM\x00*",
-     b"RIFF\x80\x00\x00\x00WEBPVP8L"]))
+     b"RIFF\x80\x00\x00\x00WEBPVP8L", b"\xff\x4f\xff\x51",
+     b"\x00\x00\x00\x0cjP  \r\n\x87\n"]))
 def test_decode_image_total_on_magic_prefixed_garbage(data, prefix):
     """Same totality with valid magic bytes followed by garbage — the parser
     paths themselves must fail cleanly, not just the dispatcher."""
