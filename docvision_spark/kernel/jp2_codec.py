@@ -1011,12 +1011,19 @@ def _decode_jp2(data: bytes):
 # Encoder (planting subset: 1 component, 1 layer, LRCP, all passes)
 
 def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
-               wrap: bool = False) -> bytes:
+               wrap: bool = False, layers: int = 1) -> bytes:
     """Encode a (H, W) grayscale or (H, W, 3) RGB uint8 array as a
     reversible JPEG 2000 codestream (`wrap=True` adds the JP2 box
     format). RGB goes through the reversible color transform (RCT,
     MCT=1). decode_jp2(encode_jp2(a)) round-trips exactly — 5/3 with
-    no quantization is lossless."""
+    no quantization is lossless.
+
+    `layers > 1` splits every code-block's passes across quality layers
+    (first layer gets the first pass, the rest arrive in the last
+    layer; intermediate layers are empty contributions) — with no
+    inter-pass termination the codeword segment may split at any byte
+    boundary, since decoders concatenate a block's per-layer segments
+    before tier-1. Exists to exercise the multi-layer tier-2 path."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim == 2:
         comps = [img.astype(np.int32) - 128]
@@ -1070,6 +1077,7 @@ def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
             exps.append(max(1, nbits - guard + 1))
 
     # tier-1 encode all code-blocks; per-(comp, band) tag trees
+    nlayers = max(1, min(int(layers), 16))
     comp_bands = []
     for c in range(ncomp):
         bands_struct = []
@@ -1087,12 +1095,11 @@ def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
                     blk = data[cb.y:cb.y + cb.h, cb.x:cb.x + cb.w]
                     res = _t1_encode(blk, band.mb, _ORIENT[band.name])
                     if res is None:
-                        incl_vals.append(1)   # never included (1 layer)
+                        incl_vals.append(nlayers)  # >= every threshold
                         zb_vals.append(0)
                     else:
                         cb.zb, cb.npasses, cb.data = res
-                        cb.included = True
-                        incl_vals.append(0)
+                        incl_vals.append(0)   # included in first layer
                         zb_vals.append(cb.zb)
                 band.incl_tree.set_values(incl_vals)
                 band.zb_tree.set_values(zb_vals)
@@ -1100,43 +1107,64 @@ def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
             bands_struct.append(row)
         comp_bands.append(bands_struct)
 
-    # tier-2: one packet per (resolution, component) — LRCP, 1 layer
+    def _layer_contribs(cb) -> list:
+        """Per-layer (npasses, bytes) splits for one code-block."""
+        if not cb.npasses:
+            return [None] * nlayers
+        if nlayers == 1 or cb.npasses == 1:
+            return [(cb.npasses, cb.data)] + [None] * (nlayers - 1)
+        split = len(cb.data) // 2
+        out = [(1, cb.data[:split])] + [None] * (nlayers - 2)
+        out.append((cb.npasses - 1, cb.data[split:]))
+        return out
+
+    # tier-2: one packet per (layer, resolution, component) — LRCP
     body = bytearray()
-    for r in range(nl + 1):
-        for c in range(ncomp):
-            wtr = _HdrWriter()
-            if not any(cb.included for band in comp_bands[c][r]
-                       for cb in band.cbs):
-                wtr.bit(0)
-                body += wtr.flush()
-                continue
-            wtr.bit(1)
-            for band in comp_bands[c][r]:
-                for idx, cb in enumerate(band.cbs):
+    for l in range(nlayers):
+        for r in range(nl + 1):
+            for c in range(ncomp):
+                wtr = _HdrWriter()
+                contribs = []
+                for band in comp_bands[c][r]:
+                    for idx, cb in enumerate(band.cbs):
+                        lc = (_layer_contribs(cb)[l]
+                              if cb.npasses else None)
+                        contribs.append((band, idx, cb, lc))
+                if not any(lc for _b, _i, _cb, lc in contribs):
+                    wtr.bit(0)
+                    body += wtr.flush()
+                    continue
+                wtr.bit(1)
+                packet_data = bytearray()
+                for band, idx, cb, lc in contribs:
                     cbx, cby = idx % band.ncx, idx // band.ncx
-                    band.incl_tree.encode(cbx, cby, 1, wtr.bit)
-                    if not cb.included:
+                    if cb.included:
+                        wtr.bit(1 if lc else 0)
+                    else:
+                        band.incl_tree.encode(cbx, cby, l + 1, wtr.bit)
+                    if not lc:
                         continue
-                    t = 1
-                    while True:
-                        band.zb_tree.encode(cbx, cby, t, wtr.bit)
-                        if cb.zb < t:
-                            break
-                        t += 1
-                    _write_npasses(wtr, cb.npasses)
+                    if not cb.included:
+                        cb.included = True
+                        t = 1
+                        while True:
+                            band.zb_tree.encode(cbx, cby, t, wtr.bit)
+                            if cb.zb < t:
+                                break
+                            t += 1
+                    npass_l, data_l = lc
+                    _write_npasses(wtr, npass_l)
                     nbits = cb.lblock + int(
-                        math.floor(math.log2(cb.npasses)))
-                    while len(cb.data) >= (1 << nbits):
+                        math.floor(math.log2(npass_l)))
+                    while len(data_l) >= (1 << nbits):
                         wtr.bit(1)
                         cb.lblock += 1
                         nbits += 1
                     wtr.bit(0)
-                    wtr.write(len(cb.data), nbits)
-            body += wtr.flush()
-            for band in comp_bands[c][r]:
-                for cb in band.cbs:
-                    if cb.included:
-                        body += cb.data
+                    wtr.write(len(data_l), nbits)
+                    packet_data += data_l
+                body += wtr.flush()
+                body += packet_data
 
     # markers
     out = bytearray()
@@ -1145,7 +1173,7 @@ def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
     siz += bytes([7, 1, 1]) * ncomp
     out += struct.pack(">HH", _SIZ, 2 + len(siz)) + siz
     spcod = bytes([nl, cb_exp - 2, cb_exp - 2, 0, 1])
-    cod = bytes([0, 0]) + struct.pack(">H", 1) + bytes([mct]) + spcod
+    cod = bytes([0, 0]) + struct.pack(">H", nlayers) + bytes([mct]) + spcod
     out += struct.pack(">HH", _COD, 2 + len(cod)) + cod
     qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += struct.pack(">HH", _QCD, 2 + len(qcd)) + qcd

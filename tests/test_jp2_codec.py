@@ -139,6 +139,46 @@ def test_roundtrip_scan_page():
     assert np.array_equal(decode_jp2(cs), g)
 
 
+@pytest.mark.parametrize("layers", [2, 3, 5])
+def test_multilayer_roundtrip(layers):
+    # exercises the multi-layer tier-2 path: per-layer inclusion bits
+    # for already-included blocks, Lblock persistence, and segment
+    # accumulation across layers before tier-1
+    rng = np.random.default_rng(layers)
+    for shape in [(40, 55), (30, 20, 3)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        cs = encode_jp2(img, levels=2, layers=layers)
+        assert np.array_equal(decode_jp2(cs), img)
+
+
+def test_rgb_rct_roundtrip_exact():
+    rng = np.random.default_rng(21)
+    for shape, lv in [((20, 30, 3), 0), ((65, 70, 3), 3), ((1, 1, 3), 1)]:
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_jp2(encode_jp2(img, levels=lv))
+        assert out.shape == img.shape and np.array_equal(out, img)
+    img = rng.integers(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    assert np.array_equal(decode_jp2(encode_jp2(img, wrap=True)), img)
+
+
+def test_progression_orders_parse():
+    # single-precinct single-layer packet sequences coincide across
+    # LRCP/RLCP/RPCL, so patching the COD progression byte must decode
+    # identically (and exercises each _packet_order branch)
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, size=(33, 44), dtype=np.uint8)
+    cs = bytearray(encode_jp2(img, levels=2))
+    i = cs.find(b"\xff\x52")
+    for prog in (1, 2):
+        cs2 = bytearray(cs)
+        cs2[i + 5] = prog
+        assert np.array_equal(decode_jp2(bytes(cs2)), img)
+    cs2 = bytearray(cs)
+    cs2[i + 5] = 4  # CPRL: outside the subset -> typed rejection
+    with pytest.raises(Jp2Error, match="progression"):
+        decode_jp2(bytes(cs2))
+
+
 def test_jp2_box_wrap():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
