@@ -19,9 +19,9 @@ rare code would surface as a roundtrip mismatch on the fuzzed bitmaps.
 Scope: K < 0 (pure G4/MMR — g4_decode) and the full Group 3 surface
 (g3_decode: K == 0 pure 1-D MH, K > 0 mixed 1-D/2-D with per-line tag
 bits; EOLs optional per PDF's /EndOfLine default, EOL-pair RTC ends the
-image). MMR-coded JBIG2 decodes via kernel/jbig2_codec (reusing
-g4_decode for region bodies) and JPEG 2000 via kernel/jp2_codec;
-arithmetic-coded JBIG2 stays a typed error row.
+image). Embedded JBIG2 decodes via kernel/jbig2_codec (MMR bodies
+reuse g4_decode; arithmetic bodies use the MQ coder) and JPEG 2000 via
+kernel/jp2_codec.
 """
 
 from __future__ import annotations

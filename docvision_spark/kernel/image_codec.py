@@ -443,9 +443,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             img = decode_jp2(data)
         except Jp2Error as e:
             raise ImageDecodeError(f"jp2: {e}") from e
-        if img.ndim == 2:
-            img = np.stack([img, img, img], axis=-1)
-        return img[:, :, :3], "jp2"
+        if img.ndim == 3 and img.shape[2] >= 3:
+            return img[:, :, :3], "jp2"
+        g = img if img.ndim == 2 else img[:, :, 0]  # 2-comp: gray plane
+        return np.stack([g, g, g], axis=-1), "jp2"
     raise ImageDecodeError("unknown image format")
 
 

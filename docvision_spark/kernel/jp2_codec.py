@@ -47,7 +47,10 @@ class Jp2Error(ValueError):
     """Malformed or out-of-subset JPEG 2000 payload."""
 
 
-MAX_PIXELS = 1 << 21  # 2M px: EBCOT decode is pure Python, ~1 Mbit/s
+# Pure-Python bit-serial EBCOT decodes ~1 Mbit/s; this caps a crafted
+# raster's task stall the same way jbig2_codec caps its MQ pixel loop
+# (256k px there — here each pixel costs ~3 passes x bitplanes).
+MAX_PIXELS = 1 << 18
 
 _SOC = 0xFF4F
 _SIZ = 0xFF51
@@ -681,7 +684,6 @@ def _band_layout(w: int, h: int, nl: int) -> list:
 
 
 _ORIENT = {"LL": 0, "LH": 0, "HL": 1, "HH": 2}
-_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 
 
 class _CodeBlock:
@@ -761,14 +763,16 @@ def _find_codestream(data: bytes) -> bytes:
         ln = _u32(data, pos)
         btype = data[pos + 4:pos + 8]
         body_off = pos + 8
+        min_len = 8
         if ln == 1:
             if pos + 16 > len(data):
                 break
             ln = struct.unpack_from(">Q", data, pos + 8)[0]
             body_off = pos + 16
+            min_len = 16  # XLBox length includes its 16-byte header
         elif ln == 0:
             ln = len(data) - pos
-        if ln < 8 or pos + ln > len(data):
+        if ln < min_len or pos + ln > len(data):
             raise Jp2Error("malformed JP2 box")
         if btype == b"jp2c":
             return data[body_off:pos + ln]
@@ -818,8 +822,14 @@ def _decode_jp2(data: bytes):
                 if tmk == _SOD:
                     tile_body += cs[q + 2:tp_end]
                     break
-                if tmk in (_PPT,):
+                if tmk == _PPT:
                     raise Jp2Error("packed packet headers unsupported")
+                if tmk in (_COD, _COC, _QCD, _QCC, _POC, _RGN):
+                    # tile-specific coding-parameter overrides: skipping
+                    # them would decode with main-header params — wrong
+                    # pixels, not a typed error — so reject instead
+                    raise Jp2Error(
+                        f"tile-part coding marker 0x{tmk:04x} unsupported")
                 if q + 4 > tp_end:
                     raise Jp2Error("truncated tile-part header")
                 q += 2 + _u16(cs, q + 2)

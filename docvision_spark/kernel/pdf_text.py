@@ -672,12 +672,12 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
     /DCTDecode streams (fmt "jpeg") — the other encoding real scanners
     emit, for grayscale/photo scans — decode via kernel/jpeg_codec and
     reduce to BT.601 luma. /JBIG2Decode streams (fmt "jbig2") decode via
-    kernel/jbig2_codec for MMR-coded generic regions (incl. a
-    /JBIG2Globals stream when referenced); /JPXDecode streams (fmt
-    "jpx") decode via kernel/jp2_codec for reversible-5/3 JPEG 2000 in
-    JP2-box or raw-codestream form (9/7 irreversible and arithmetic-
-    coded JBIG2 are skipped — their docs keep typed error/partial
-    semantics elsewhere). The reference rasterizes all such pages via
+    kernel/jbig2_codec for generic regions in both MMR and MQ-arithmetic
+    coding (incl. a /JBIG2Globals stream when referenced); /JPXDecode
+    streams (fmt "jpx") decode via kernel/jp2_codec for reversible-5/3
+    JPEG 2000 in JP2-box or raw-codestream form (9/7 irreversible is
+    skipped — such docs keep typed error/partial semantics elsewhere).
+    The reference rasterizes all such pages via
     fitz and OCRs them (reference processing/image.py:62-108); here the
     bitmap itself feeds the media feature path.
     Ink is reported as gray 0 regardless of /BlackIs1 — that flag governs
@@ -762,11 +762,13 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
                 img = decode_jp2(data)
             except Jp2Error:
                 continue  # out-of-subset (9/7, multi-tile) or corrupt
-            if img.ndim == 3:
+            if img.ndim == 3 and img.shape[2] >= 3:
                 img = np.clip(np.round(
                     0.299 * img[:, :, 0].astype(np.float64)
                     + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]),
                     0, 255).astype(np.uint8)
+            elif img.ndim == 3:
+                img = img[:, :, 0]  # 2-comp (gray+alpha): gray plane
             out.append((img, "jpx"))
         else:
             # /DCTDecode: the stream IS a complete JFIF payload

@@ -205,6 +205,47 @@ def test_pixel_budget():
         decode_jp2(bytes(cs))
 
 
+def test_tile_part_coding_markers_rejected():
+    # Tile-specific COD/QCD overrides would silently decode with
+    # main-header params (wrong pixels); the subset rejects them typed.
+    img = np.zeros((12, 12), dtype=np.uint8)
+    cs = bytearray(encode_jp2(img, levels=1))
+    sot = cs.find(b"\xff\x90")
+    assert sot > 0
+    # fake tile-part COD segment between the SOT header and SOD
+    fake = b"\xff\x52\x00\x0c" + bytes(10)
+    patched = bytes(cs[:sot + 12]) + fake + bytes(cs[sot + 12:])
+    patched = bytearray(patched)
+    psot = struct.unpack_from(">I", patched, sot + 6)[0]
+    struct.pack_into(">I", patched, sot + 6, psot + len(fake))
+    with pytest.raises(Jp2Error, match="tile-part coding marker"):
+        decode_jp2(bytes(patched))
+
+
+def test_two_component_consumers_take_gray_plane(monkeypatch):
+    # A 2-component (gray+alpha) codestream decodes to (H, W, 2); the
+    # image dispatch and the PDF raster path must take the gray plane,
+    # not index a missing third channel.
+    import docvision_spark.kernel.jp2_codec as jmod
+    from docvision_spark.kernel.image_codec import decode_image
+
+    gray = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    two = np.stack([gray, np.full_like(gray, 255)], axis=-1)
+    real = encode_jp2(gray, levels=1)  # dispatcher needs valid magic
+    monkeypatch.setattr(jmod, "_decode_jp2", lambda _data: two)
+    rgb, fmt = decode_image(real)
+    assert fmt == "jp2" and rgb.shape == (6, 8, 3)
+    assert np.array_equal(rgb[:, :, 0], gray)
+
+
+def test_xlbox_short_length_rejected():
+    # An XLBox's 64-bit length includes its 16-byte header; 8 <= ln < 16
+    # must be malformed, not a negative-length body slice.
+    box = struct.pack(">I", 1) + b"jp2c" + struct.pack(">Q", 12)
+    with pytest.raises(Jp2Error, match="malformed JP2 box"):
+        decode_jp2(J._JP2_SIG + box)
+
+
 def test_truncation_and_corruption_totality():
     rng = np.random.default_rng(11)
     img = rng.integers(0, 256, size=(48, 60), dtype=np.uint8)
