@@ -1021,7 +1021,8 @@ def _decode_jp2(data: bytes):
 # Encoder (planting subset: 1 component, 1 layer, LRCP, all passes)
 
 def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
-               wrap: bool = False, layers: int = 1) -> bytes:
+               wrap: bool = False, layers: int = 1,
+               sop: bool = False, eph: bool = False) -> bytes:
     """Encode a (H, W) grayscale or (H, W, 3) RGB uint8 array as a
     reversible JPEG 2000 codestream (`wrap=True` adds the JP2 box
     format). RGB goes through the reversible color transform (RCT,
@@ -1130,9 +1131,13 @@ def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
 
     # tier-2: one packet per (layer, resolution, component) — LRCP
     body = bytearray()
+    nsop = 0
     for l in range(nlayers):
         for r in range(nl + 1):
             for c in range(ncomp):
+                if sop:  # B.10.4 resync marker before each packet
+                    body += struct.pack(">HHH", _SOP, 4, nsop & 0xFFFF)
+                    nsop += 1
                 wtr = _HdrWriter()
                 contribs = []
                 for band in comp_bands[c][r]:
@@ -1143,6 +1148,8 @@ def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
                 if not any(lc for _b, _i, _cb, lc in contribs):
                     wtr.bit(0)
                     body += wtr.flush()
+                    if eph:
+                        body += struct.pack(">H", _EPH)
                     continue
                 wtr.bit(1)
                 packet_data = bytearray()
@@ -1174,6 +1181,8 @@ def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
                     wtr.write(len(data_l), nbits)
                     packet_data += data_l
                 body += wtr.flush()
+                if eph:
+                    body += struct.pack(">H", _EPH)
                 body += packet_data
 
     # markers
@@ -1183,7 +1192,9 @@ def encode_jp2(img, levels: int = 2, cb_exp: int = 6,
     siz += bytes([7, 1, 1]) * ncomp
     out += struct.pack(">HH", _SIZ, 2 + len(siz)) + siz
     spcod = bytes([nl, cb_exp - 2, cb_exp - 2, 0, 1])
-    cod = bytes([0, 0]) + struct.pack(">H", nlayers) + bytes([mct]) + spcod
+    scod = (0x02 if sop else 0) | (0x04 if eph else 0)
+    cod = (bytes([scod, 0]) + struct.pack(">H", nlayers)
+           + bytes([mct]) + spcod)
     out += struct.pack(">HH", _COD, 2 + len(cod)) + cod
     qcd = bytes([guard << 5]) + bytes(e << 3 for e in exps)
     out += struct.pack(">HH", _QCD, 2 + len(qcd)) + qcd

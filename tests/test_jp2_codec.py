@@ -179,6 +179,31 @@ def test_progression_orders_parse():
         decode_jp2(bytes(cs2))
 
 
+@pytest.mark.parametrize("sop,eph", [(True, False), (False, True),
+                                     (True, True)])
+def test_sop_eph_markers(sop, eph):
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, size=(40, 33), dtype=np.uint8)
+    cs = encode_jp2(img, levels=2, layers=2, sop=sop, eph=eph)
+    assert (b"\xff\x91" in cs) == sop
+    assert np.array_equal(decode_jp2(cs), img)
+    if eph:
+        # stripping a signaled EPH is a typed error, not misalignment
+        i = cs.find(b"\xff\x92")
+        with pytest.raises(Jp2Error, match="EPH"):
+            decode_jp2(cs[:i] + cs[i + 2:])
+
+
+def test_com_segment_skipped():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(20, 25), dtype=np.uint8)
+    cs = bytearray(encode_jp2(img, levels=1))
+    i = cs.find(b"\xff\x5c")  # splice a COM before QCD
+    com = b"\xff\x64\x00\x0b\x00\x01spliced"  # Lcom = 2 + Rcom(2) + 7
+    patched = bytes(cs[:i]) + com + bytes(cs[i:])
+    assert np.array_equal(decode_jp2(patched), img)
+
+
 def test_jp2_box_wrap():
     rng = np.random.default_rng(4)
     img = rng.integers(0, 256, size=(40, 56), dtype=np.uint8)
