@@ -724,6 +724,26 @@ def pdf_image_xobjects(payload: bytes, max_images: int = 8) -> list:
                 raise
             except ValueError:
                 continue  # per-stream pad corruption: skip this image
+        # real scanners sometimes wrap the raster in transport filters,
+        # e.g. [/FlateDecode /DCTDecode]: apply every filter BEFORE the
+        # terminal raster filter through the text-side filter machinery
+        fm = _FILTER_VAL_RE.search(d)
+        if fm and fm.group(1).startswith(b"["):
+            names = re.findall(rb"/(\w+)", fm.group(1))
+            parms = _parm_dicts(d)
+            ok = True
+            for i, name in enumerate(names):
+                if name in (b"CCITTFaxDecode", b"DCTDecode",
+                            b"JBIG2Decode", b"JPXDecode"):
+                    break
+                try:
+                    data = _apply_one_filter(
+                        name, data, parms[i] if i < len(parms) else b"")
+                except (PdfUnsupportedFilterError, ValueError, zlib.error):
+                    ok = False
+                    break
+            if not ok:
+                continue  # undecodable transport filter: skip this image
         if is_ccitt:
             try:
                 bm = ccitt_codec.g3_decode(data, cols, rows=h, k=k,

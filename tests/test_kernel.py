@@ -635,3 +635,40 @@ def test_scanned_pdf_slice_extracts_and_raster_decodes():
     assert fb == "jbig2" and np.array_equal(gb == 0, _scan_bitmap(7) == 1)
     (gx, fx), = pdf_image_xobjects(make_scanned_pdf_jpx(7))
     assert fx == "jpx" and np.array_equal(gx, _scan_gray(7))
+
+
+def test_image_xobject_transport_filter_chains():
+    """Rasters wrapped in transport filters ([/FlateDecode /DCTDecode],
+    deeper chains) pre-decode through the text-side filter machinery
+    before the terminal raster filter; a corrupt transport wrapper
+    degrades to skip-this-raster, never a crash."""
+    import base64
+    import zlib
+
+    import numpy as np
+
+    from docvision_spark.corpus import _scan_gray, _scanned_pdf_shell
+    from docvision_spark.kernel.jp2_codec import encode_jp2
+    from docvision_spark.kernel.jpeg_codec import encode_jpeg
+    from docvision_spark.kernel.pdf_text import pdf_image_xobjects
+
+    g = _scan_gray(11, 120, 90)
+    jd = zlib.compress(encode_jpeg(g, quality=90))
+    pdf = _scanned_pdf_shell(
+        120, 90, "/BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Filter [/FlateDecode /DCTDecode] ", jd)
+    (img, fmt), = pdf_image_xobjects(pdf)
+    assert fmt == "jpeg" and img.shape == (90, 120)
+    assert abs(img.astype(int) - g.astype(int)).mean() < 8.0
+
+    a85 = base64.a85encode(zlib.compress(encode_jp2(g, levels=2))) + b"~>"
+    pdf2 = _scanned_pdf_shell(
+        120, 90, "/BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Filter [/ASCII85Decode /FlateDecode /JPXDecode] ", a85)
+    (img2, fmt2), = pdf_image_xobjects(pdf2)
+    assert fmt2 == "jpx" and np.array_equal(img2, g)
+
+    pdf3 = _scanned_pdf_shell(
+        120, 90, "/BitsPerComponent 8 /ColorSpace /DeviceGray "
+        "/Filter [/FlateDecode /DCTDecode] ", b"not zlib data")
+    assert pdf_image_xobjects(pdf3) == []
