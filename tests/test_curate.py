@@ -215,10 +215,10 @@ def test_curate_sf01_scale_stage_counts(tmp_path):
     assert rep["after_exact_dedup"] == rep["quality_pass"]
     assert rep["after_near_dedup"] == rep["after_exact_dedup"]
     from docvision_spark.corpus import CORPUS_VERSION
-    # v10 == v9 text content (K-variant rasters); v11/v12/v13 == v10
-    # text content (the scanned slice's /DCTDecode, /JBIG2Decode and
-    # /JPXDecode variants change raster bytes only)
-    if CORPUS_VERSION in (10, 11, 12, 13):
+    # v10 == v9 text content (K-variant rasters); v11-v14 == v10 text
+    # content (the scanned slice's /DCTDecode, /JBIG2Decode, /JPXDecode
+    # and flate-transport variants change raster bytes only)
+    if CORPUS_VERSION in (10, 11, 12, 13, 14):
         # exact deterministic counts for this corpus version (seeded corpus
         # + seeded kernel -> the whole report is reproducible bit-for-bit);
         # on a version bump the invariants above still gate while these pins
