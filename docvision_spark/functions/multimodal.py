@@ -47,7 +47,7 @@ MEDIA_SCHEMA = StructType([
 FEATURE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("kind", StringType()),
-    StructField("format", StringType()),    # png|bmp|pnm|gif|jpeg|wav|y4m|dvsm-fake
+    StructField("format", StringType()),    # png|bmp|pnm|gif|jpeg|ico|svg|...|dvsm-fake
     StructField("width", IntegerType()),
     StructField("height", IntegerType()),
     StructField("n_frames", IntegerType()),
@@ -61,6 +61,8 @@ FEATURE_SCHEMA = StructType([
     StructField("gain", DoubleType()),        # mp3 side-info global_gain mean
     StructField("motion", DoubleType()),      # video inter-frame luma delta
     StructField("sample_rate", IntegerType()),
+    StructField("n_elements", IntegerType()),  # vector (SVG) element count
+    StructField("media_text", StringType()),   # vector (SVG) visible text
     StructField("feature_hash", StringType()),
     StructField("error", StringType()),
 ])
@@ -140,7 +142,36 @@ def make_synthetic_image(seed: int, width: int = 48, height: int = 32,
         from docvision_spark.kernel.vp8_codec import webp_encode_lossy
         # real VP8 intra keyframe; vary quantizer by seed
         return webp_encode_lossy(img, qi=16 + 8 * (seed % 3))
+    if fmt == "ico":
+        from docvision_spark.kernel.image_codec import (encode_ico,
+                                                        resize_nearest)
+        # favicon container: full-size + half-size entries; alternate the
+        # inner payload family (PNG stream vs headerless DIB) by seed
+        half = resize_nearest(img, max(1, width // 2), max(1, height // 2))
+        return encode_ico([half, img], inner="bmp" if seed % 2 else "png")
+    if fmt == "apng":
+        from docvision_spark.kernel.image_codec import encode_apng
+        return encode_apng(img, n_frames=2 + seed % 4)
     raise ValueError(f"make_synthetic_image: unsupported fmt {fmt}")
+
+
+def make_synthetic_svg(seed: int) -> bytes:
+    """Deterministic SVG: seeded absolute dims, a few shapes, and seeded
+    text content (exercises the dims/element-count/text metadata path —
+    vector images never rasterize, see kernel/svg_info.py)."""
+    rng = np.random.default_rng(seed & 0xFFFFFFFF)
+    w, h = 64 + int(rng.integers(0, 6)) * 16, 48 + int(rng.integers(0, 5)) * 8
+    words = ["alpha", "beta", "gamma", "delta", "sigma", "omega"]
+    label = " ".join(words[int(i)] for i in rng.integers(0, 6, size=3))
+    shapes = "".join(
+        f'<rect x="{int(rng.integers(0, w))}" y="{int(rng.integers(0, h))}" '
+        f'width="8" height="6" fill="#{int(rng.integers(0, 1 << 24)):06x}"/>'
+        for _ in range(2 + seed % 3))
+    return (f'<?xml version="1.0" encoding="UTF-8"?>\n'
+            f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+            f'height="{h}" viewBox="0 0 {w} {h}">'
+            f'<title>synthetic {seed % 97}</title>{shapes}'
+            f'<text x="4" y="12">{label}</text></svg>').encode()
 
 
 def make_synthetic_audio(seed: int, duration_s: float = 0.25,
@@ -206,6 +237,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
             decode_wav, decode_y4m, wav_features, y4m_features)
         from docvision_spark.kernel.image_codec import (
             ahash64, decode_image, dhash64, luma_stats)
+        from docvision_spark.kernel.svg_info import looks_like_svg, svg_info
 
         for pdf in it:
             out = []
@@ -218,6 +250,7 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                        "ahash": None, "dhash": None,
                        "rms": None, "gain": None, "motion": None,
                        "sample_rate": None,
+                       "n_elements": None, "media_text": None,
                        "feature_hash": None, "error": None}
                 try:
                     payload = bytes(payload) if payload is not None else b""
@@ -329,6 +362,17 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             mean_l, std_l = luma_stats(rgb)
                             row.update(mean_luma=mean_l, std_luma=std_l,
                                        ahash=ahash64(rgb), dhash=dhash64(rgb))
+                    elif looks_like_svg(payload):
+                        # vector image: declared geometry + indexable text
+                        # (no rasterizer by design — kernel/svg_info.py);
+                        # luma/hashes stay NULL, honestly
+                        info = svg_info(payload)
+                        row.update(
+                            kind="image", format="svg",
+                            width=info["width"], height=info["height"],
+                            n_elements=info["n_elements"],
+                            media_text=info["text"] or None,
+                        )
                     else:
                         rgb, fmt = decode_image(payload)
                         mean_l, std_l = luma_stats(rgb)
@@ -337,6 +381,12 @@ def extract_media_features(df: DataFrame) -> DataFrame:
                             from docvision_spark.kernel.image_codec import \
                                 gif_frame_count
                             nf = gif_frame_count(payload)
+                        elif fmt == "png":
+                            # APNG acTL chunk -> animation frame count
+                            # (1 for a still PNG)
+                            from docvision_spark.kernel.image_codec import \
+                                png_frame_count
+                            nf = png_frame_count(payload)
                         row.update(
                             kind="image", format=fmt,
                             width=rgb.shape[1], height=rgb.shape[0],
@@ -519,12 +569,19 @@ def synthesize_media(df: DataFrame, id_col: str = "doc_id",
                     payload = make_synthetic_image(
                         mid, 64 + 8 * (mid % 6), 48 + 4 * (mid % 5),
                         fmt="webp" if mid % 2 else "webp-lossy")
+                elif mid % 19 == 2:
+                    # vector slice: SVG markup (dims/elements/text decode;
+                    # no raster features by design — kernel/svg_info.py)
+                    kind = "image"
+                    payload = make_synthetic_svg(mid)
                 else:
                     kind = "image"
                     seed, noise = (mid - 1, 3) if mid % 17 == 1 else (mid, 0)
                     w = 32 + (seed % 4) * 16
                     h = 24 + (seed % 3) * 8
-                    fmt = ("pnm" if mid % 11 == 0
+                    fmt = ("ico" if mid % 19 == 6
+                           else "apng" if mid % 19 == 10
+                           else "pnm" if mid % 11 == 0
                            else "gif" if mid % 13 == 3
                            else "tiff" if mid % 13 == 5
                            else "tiff-bilevel" if mid % 13 == 7

@@ -447,6 +447,9 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             return img[:, :, :3], "jp2"
         g = img if img.ndim == 2 else img[:, :, 0]  # 2-comp: gray plane
         return np.stack([g, g, g], axis=-1), "jp2"
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00"):
+        # ICO/CUR favicon container (entries are PNG or headerless DIB)
+        return decode_ico(data), "ico"
     raise ImageDecodeError("unknown image format")
 
 
@@ -830,3 +833,151 @@ def encode_gif(arr: np.ndarray, interlace: bool = False) -> bytes:
     imgd = (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
             + bytes([0x40 if interlace else 0]) + bytes([min_code]) + bytes(sub))
     return head + imgd + b"\x3B"
+
+
+# ----------------------------------------------------------------- ICO -----
+# Windows icon / cursor container (the favicon format — ubiquitous in real
+# crawls). Public layout: ICONDIR (reserved u16=0, type u16 1=ICO/2=CUR,
+# count u16) + 16-byte ICONDIRENTRY per image (w, h with 0 meaning 256,
+# colors, reserved, planes/hotspot-x, bpp/hotspot-y, bytes, offset). Each
+# entry's payload is either a complete PNG stream or a headerless DIB
+# (BITMAPINFOHEADER whose biHeight covers XOR + AND masks, i.e. 2x the
+# visible height). Both re-use the existing decoders: PNG directly, DIB by
+# synthesizing the 14-byte BITMAPFILEHEADER decode_bmp expects and halving
+# the doubled height. The reference reads .ico via cv2.imread
+# (/root/reference/src/docvision/core/parser.py:554-563).
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """Decode the best entry (largest area, then deepest bpp) of an
+    ICO/CUR container to (H, W, 3) uint8 RGB."""
+    if len(data) < 6 + 16:
+        raise ImageDecodeError("ico: truncated directory")
+    reserved, ftype, count = struct.unpack("<HHH", data[:6])
+    if reserved != 0 or ftype not in (1, 2) or count == 0:
+        raise ImageDecodeError("ico: bad ICONDIR")
+    if 6 + 16 * count > len(data):
+        raise ImageDecodeError("ico: directory exceeds payload")
+    best = None  # (area, bpp, offset, size)
+    for i in range(count):
+        w8, h8, _colors, _rsv, _planes, bpp, size, off = struct.unpack(
+            "<BBBBHHII", data[6 + 16 * i:6 + 16 * i + 16])
+        w, h = w8 or 256, h8 or 256
+        if off + size > len(data) or size < 16:
+            raise ImageDecodeError("ico: entry out of bounds")
+        key = (w * h, bpp)
+        if best is None or key > best[0]:
+            best = (key, off, size)
+    _, off, size = best
+    img = data[off:off + size]
+    if img[:8] == PNG_SIG:
+        return decode_png(img)
+    # headerless DIB: biHeight counts XOR + AND mask rows
+    if len(img) < 40:
+        raise ImageDecodeError("ico: truncated DIB")
+    hsize = struct.unpack("<I", img[:4])[0]
+    if hsize < 40:
+        raise ImageDecodeError("ico: pre-BITMAPINFOHEADER DIB")
+    w, h2 = struct.unpack("<ii", img[4:12])
+    if h2 <= 0 or h2 % 2 or w <= 0:
+        raise ImageDecodeError("ico: bad DIB dimensions")
+    bpp = struct.unpack("<H", img[14:16])[0]
+    comp = struct.unpack("<I", img[16:20])[0]
+    if comp != 0:
+        raise ImageDecodeError("ico: compressed DIB not allowed")
+    ncolors = 0
+    if bpp <= 8:
+        ncolors = struct.unpack("<I", img[32:36])[0] or (1 << bpp)
+    pixel_off = 14 + hsize + 4 * ncolors
+    fixed = bytearray(img)
+    struct.pack_into("<i", fixed, 8, h2 // 2)  # drop the AND-mask rows
+    bmp = (b"BM" + struct.pack("<IHHI", 14 + len(img), 0, 0, pixel_off)
+           + bytes(fixed))
+    return decode_bmp(bmp)  # trailing AND mask ignored by exact slicing
+
+
+def encode_ico(imgs: list[np.ndarray], inner: str = "png",
+               cursor: bool = False) -> bytes:
+    """Encode RGB arrays as a multi-entry ICO (or CUR): inner='png' stores
+    each entry as a PNG stream, inner='bmp' as a headerless 24-bit DIB
+    with doubled height and an all-opaque AND mask."""
+    if not imgs:
+        raise ValueError("encode_ico: no images")
+    blobs, entries = [], []
+    off = 6 + 16 * len(imgs)
+    for arr in imgs:
+        h, w = arr.shape[:2]
+        if w > 256 or h > 256:
+            raise ValueError("encode_ico: entries are capped at 256x256")
+        if inner == "png":
+            blob, bpp = encode_png(arr), 32
+        else:
+            stride = (w * 3 + 3) & ~3
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, :w * 3] = arr[::-1, :, [2, 1, 0]].reshape(h, -1)
+            mask_stride = ((w + 31) // 32) * 4
+            hdr = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 24, 0,
+                              stride * h + mask_stride * h, 0, 0, 0, 0)
+            blob, bpp = hdr + rows.tobytes() + bytes(mask_stride * h), 24
+        entries.append(struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0,
+            0 if cursor else 1, 0 if cursor else bpp, len(blob), off))
+        blobs.append(blob)
+        off += len(blob)
+    return (struct.pack("<HHH", 0, 2 if cursor else 1, len(imgs))
+            + b"".join(entries) + b"".join(blobs))
+
+
+# ---------------------------------------------------------------- APNG ----
+
+def png_frame_count(data: bytes) -> int:
+    """Animation frame count from an APNG acTL chunk (1 for a still PNG).
+    The acTL chunk is public spec (PNG third edition §4.9): num_frames u32
+    + num_plays u32, and must precede IDAT."""
+    if data[:8] != PNG_SIG:
+        raise ImageDecodeError("png: bad signature")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,), ctype = (struct.unpack(">I", data[pos:pos + 4]),
+                            data[pos + 4:pos + 8])
+        if ctype == b"acTL" and length >= 8:
+            n = struct.unpack(">I", data[pos + 8:pos + 12])[0]
+            if n == 0:
+                raise ImageDecodeError("apng: zero frame count")
+            return n
+        if ctype in (b"IDAT", b"IEND"):
+            break
+        pos += 12 + length
+    return 1
+
+
+def encode_apng(arr: np.ndarray, n_frames: int, delay_den: int = 10) -> bytes:
+    """Animated PNG: IHDR + acTL + per-frame fcTL (26-byte body), frame 0
+    in IDAT, later frames as fdAT (sequence number + the same deflate
+    stream — frames repeat the base image; animation STRUCTURE is what the
+    metadata walk decodes). Still decodes as a normal PNG (default image)."""
+    if n_frames < 1:
+        raise ValueError("encode_apng: n_frames must be >= 1")
+    h, w = arr.shape[:2]
+    base = encode_png(arr)
+    # lift the IDAT body out of the still encoding to reuse per frame
+    pos, idat = 8, b""
+    while pos + 8 <= len(base):
+        (length,), ctype = (struct.unpack(">I", base[pos:pos + 4]),
+                            base[pos + 4:pos + 8])
+        if ctype == b"IDAT":
+            idat += base[pos + 8:pos + 8 + length]
+        pos += 12 + length
+    out = bytearray(base[:8 + 25])  # signature + IHDR chunk
+    out += _chunk(b"acTL", struct.pack(">II", n_frames, 0))
+    seq = 0
+    for f in range(n_frames):
+        out += _chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, delay_den, 0, 0))
+        seq += 1
+        if f == 0:
+            out += _chunk(b"IDAT", idat)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + idat)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)

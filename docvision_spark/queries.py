@@ -852,7 +852,10 @@ def t07_structured_output(spark: SparkSession, sf: str) -> DataFrame:
 # itself is unit-gated by tests/test_image_codec.py), so each check is an
 # aggregation-parity check plus a cross-run determinism check on the codec.
 _MCACHE = os.path.join(_XCACHE_DIR, "media_features.parquet")
-_MCACHE_REV = 19  # rev 19: standalone JPEG 2000 image family (mid%13==9
+_MCACHE_REV = 20  # rev 20: favicon (ICO, mid%19==6), APNG (mid%19==10)
+#                   and vector SVG (mid%19==2) slices join the media mix;
+#                   schema gains n_elements/media_text (vector metadata);
+#                   rev 19: standalone JPEG 2000 image family (mid%13==9
 #                   -> fmt jp2: RGB RCT, raw codestream / JP2 box by
 #                   seed) joins the image pool;
 #                   rev 18: scanned-PDF slice adds /JPXDecode (JPEG 2000

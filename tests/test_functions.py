@@ -688,3 +688,40 @@ def test_multimodal_scanned_pdf_features(spark):
     assert abs(out[8]["mean_luma"] - out[5]["mean_luma"]) < 4.0
     ham_x = bin(out[8]["dhash"] ^ out[9]["dhash"]).count("1")
     assert ham_x <= 6, ham_x
+
+
+@pytest.mark.spark
+def test_media_features_ico_svg_apng(spark):
+    """Crawl-reality formats: ICO favicons pixel-decode (PNG or DIB inner),
+    APNG stills report their acTL frame count, and vector SVG yields
+    declared dims + element count + indexable text with luma/hashes
+    honestly NULL (no rasterizer by design)."""
+    from docvision_spark.functions.multimodal import (
+        MEDIA_SCHEMA, extract_media_features, make_synthetic_image,
+        make_synthetic_svg)
+
+    rows = [
+        (1, "image", make_synthetic_image(6, 64, 48, fmt="ico")),   # png inner
+        (2, "image", make_synthetic_image(7, 64, 48, fmt="ico")),   # bmp inner
+        (3, "image", make_synthetic_image(8, 40, 32, fmt="apng")),
+        (4, "image", make_synthetic_svg(9)),
+        (5, "image", b'<svg width="10em"><text>vec words</text></svg>'),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_media_features(df).collect()}
+    for mid in (1, 2):
+        r = out[mid]
+        assert r["format"] == "ico" and r["error"] is None
+        assert (r["width"], r["height"]) == (64, 48)  # largest entry wins
+        assert r["dhash"] is not None and r["mean_luma"] is not None
+    r = out[3]
+    assert r["format"] == "png" and r["n_frames"] == 2 + 8 % 4
+    assert r["dhash"] is not None
+    r = out[4]
+    assert r["format"] == "svg" and r["error"] is None
+    assert r["width"] is not None and r["height"] is not None
+    assert r["n_elements"] >= 4 and r["media_text"]
+    assert r["dhash"] is None and r["mean_luma"] is None
+    r = out[5]
+    assert r["format"] == "svg" and r["width"] is None
+    assert r["media_text"] == "vec words"

@@ -561,3 +561,84 @@ def test_gif_frame_count():
     assert gif_frame_count(g2) == 2
     # first frame still decodes
     assert decode_gif(g2).shape == (8, 8, 3)
+
+
+# ------------------------------------------------------------------ ICO ----
+
+def test_ico_roundtrip_both_inner_families():
+    from docvision_spark.kernel.image_codec import decode_ico, encode_ico
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    small = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    for inner in ("png", "bmp"):
+        ico = encode_ico([small, img], inner=inner)
+        # best-entry selection: largest area wins regardless of order
+        assert np.array_equal(decode_ico(ico), img), inner
+    # CUR (type 2) container decodes the same way
+    cur = encode_ico([img], inner="bmp", cursor=True)
+    assert np.array_equal(decode_ico(cur), img)
+
+
+def test_ico_dispatch_and_errors():
+    from docvision_spark.kernel.image_codec import (ImageDecodeError,
+                                                    decode_ico, decode_image,
+                                                    encode_ico)
+
+    img = np.full((8, 8, 3), 77, dtype=np.uint8)
+    rgb, fmt = decode_image(encode_ico([img]))
+    assert fmt == "ico" and np.array_equal(rgb, img)
+    with pytest.raises(ImageDecodeError):
+        decode_ico(b"\x00\x00\x01\x00\x01\x00")  # directory truncated
+    with pytest.raises(ImageDecodeError):
+        decode_ico(b"\x01\x00\x01\x00\x01\x00" + b"\x00" * 16)  # reserved!=0
+    # entry pointing past the payload
+    bad = bytearray(encode_ico([img]))
+    struct.pack_into("<I", bad, 6 + 12, 1 << 30)
+    with pytest.raises(ImageDecodeError):
+        decode_ico(bytes(bad))
+    # compressed DIB entries are invalid inside ICO
+    hdr = struct.pack("<IiiHHIIiiII", 40, 4, 8, 1, 8, 1, 0, 0, 0, 0, 0)
+    blob = hdr + b"\x00" * 64
+    payload = (struct.pack("<HHH", 0, 1, 1)
+               + struct.pack("<BBBBHHII", 4, 4, 0, 0, 1, 8, len(blob), 22)
+               + blob)
+    with pytest.raises(ImageDecodeError):
+        decode_ico(payload)
+
+
+def test_ico_bmp_inner_ignores_and_mask_and_uses_palette_offsets():
+    # 256x256 sentinel encoding: width/height bytes of 0 mean 256
+    from docvision_spark.kernel.image_codec import decode_ico, encode_ico
+
+    big = np.zeros((256, 256, 3), dtype=np.uint8)
+    big[0, 0] = (1, 2, 3)
+    ico = encode_ico([big], inner="png")
+    assert ico[6] == 0 and ico[7] == 0  # 256 encodes as 0
+    out = decode_ico(ico)
+    assert out.shape == (256, 256, 3) and tuple(out[0, 0]) == (1, 2, 3)
+
+
+# ----------------------------------------------------------------- APNG ----
+
+def test_apng_frame_count_and_still_decode():
+    from docvision_spark.kernel.image_codec import (ImageDecodeError,
+                                                    decode_png, encode_apng,
+                                                    encode_png,
+                                                    png_frame_count)
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(12, 20, 3), dtype=np.uint8)
+    ap = encode_apng(img, n_frames=4)
+    assert png_frame_count(ap) == 4
+    # the default image still decodes as a normal PNG (fcTL/fdAT skipped)
+    assert np.array_equal(decode_png(ap), img)
+    assert png_frame_count(encode_png(img)) == 1
+    with pytest.raises(ImageDecodeError):
+        png_frame_count(b"nope")
+    # acTL declaring zero frames is invalid
+    bad = bytearray(ap)
+    pos = bad.find(b"acTL")
+    struct.pack_into(">I", bad, pos + 4, 0)
+    with pytest.raises(ImageDecodeError):
+        png_frame_count(bytes(bad))
