@@ -67,3 +67,55 @@ def test_warc_to_extraction(spark, tmp_path):
     got = {r["url"]: r["id"] for r in ok.select("url", "id").collect()}
     for rec in recs:
         assert got[rec["url"]] == kextract(rec["url"], rec["payload"]).id
+
+def test_http_transfer_and_content_codings(tmp_path):
+    """Crawl-reality HTTP framings: chunked bodies de-chunk, gzip/deflate
+    content codings decompress (deflate both zlib-wrapped and raw),
+    chained chunked+gzip resolves in order, and undecodable codings
+    (brotli) or corrupt framing skip the record instead of passing
+    compressed bytes to the extractor."""
+    import gzip as _gzip
+    import zlib
+    from datetime import datetime, timezone
+
+    from docvision_spark.pipeline.warc import (_dechunk, parse_warc_bytes,
+                                               write_warc)
+
+    ts = datetime(2025, 5, 4, tzinfo=timezone.utc)
+    html = ("<html><body>" + "word " * 500 + "</body></html>").encode()
+    recs = [
+        {"url": f"http://h.example.com/{c or 'plain'}", "warc_ts": ts,
+         "payload": html, "lang": "en", "coding": c}
+        for c in ("", "chunked", "gzip", "deflate", "chunked+gzip")
+    ]
+    p = tmp_path / "codings.warc.gz"
+    write_warc(recs, str(p))
+    pages = parse_warc_bytes(p.read_bytes())
+    assert len(pages) == 5
+    assert all(bytes(pg["html"]) == html for pg in pages)
+
+    # raw-deflate variant (some servers emit deflate without zlib header)
+    raw = zlib.compress(html)[2:-4]
+    body = (b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n\r\n" + raw)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://h.example.com/raw-deflate\r\n"
+           b"WARC-Date: 2025-05-04T00:00:00Z\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(body) + body + b"\r\n\r\n")
+    assert [bytes(pg["html"]) for pg in parse_warc_bytes(rec)] == [html]
+
+    def one(extra: bytes, body: bytes) -> list:
+        b = b"HTTP/1.1 200 OK\r\n" + extra + b"\r\n" + body
+        return parse_warc_bytes(
+            b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://h.example.com/x\r\n"
+            b"WARC-Date: 2025-05-04T00:00:00Z\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(b) + b + b"\r\n\r\n")
+
+    # undecodable / corrupt cases all SKIP (never emit compressed bytes)
+    assert one(b"Content-Encoding: br\r\n", b"\x00junk") == []
+    assert one(b"Content-Encoding: gzip\r\n", b"not gzip") == []
+    assert one(b"Transfer-Encoding: chunked\r\n", b"zz\r\nbad") == []
+    assert one(b"Transfer-Encoding: chunked\r\n", b"5\r\nhello") == []
+
+    # _dechunk handles chunk extensions and ignores trailers
+    assert _dechunk(b"5;ext=1\r\nhello\r\n0\r\nTrailer: x\r\n\r\n") == b"hello"
