@@ -15,6 +15,7 @@ from dataclasses import dataclass, field
 from docvision_spark.kernel import pdf_text
 from docvision_spark.kernel.charset import decode_html
 from docvision_spark.kernel.dom import segment_with_meta
+from docvision_spark.kernel.feed import feed_blocks, looks_like_feed
 from docvision_spark.kernel.markdown import Span, emit
 
 # Truncation guard: analogue of the reference's adaptive-resize work cap
@@ -36,7 +37,7 @@ class ExtractResult:
     # 1-indexed page_no. HTML documents are a single page 1.
     pages: list[tuple[int, str, str]] = field(default_factory=list)
     page_count: int = 0
-    processing_mode: str = ""     # 'html' | 'pdf'
+    processing_mode: str = ""     # 'html' | 'pdf' | 'feed'
     charset: str = ""
     truncated: bool = False
     error: str | None = None
@@ -59,16 +60,24 @@ _MOJIBAKE_NUM, _MOJIBAKE_DEN = 1, 10
 
 def _extract_html(payload: bytes) -> ExtractResult:
     decoded, charset = decode_html(payload)
-    blocks, meta = segment_with_meta(decoded)
+    if looks_like_feed(decoded):
+        # syndication XML (RSS 2.0 / RSS 1.0 RDF / Atom): per-item
+        # headings + each entry's HTML content through the same
+        # segment/classify/emit chain (kernel/feed.py)
+        blocks = feed_blocks(decoded)
+        mode, meta = "feed", {"canonical": None, "robots": None}
+    else:
+        blocks, meta = segment_with_meta(decoded)
+        mode = "html"
     text, markdown, spans = emit(blocks)
     n_bad = text.count("�")
     if text and n_bad * _MOJIBAKE_DEN > len(text) * _MOJIBAKE_NUM:
-        return ExtractResult(id=sha3_id(""), processing_mode="html",
+        return ExtractResult(id=sha3_id(""), processing_mode=mode,
                              charset=charset, error="mojibake")
     return ExtractResult(
         id=sha3_id(text), text=text, markdown=markdown, spans=spans,
         pages=[(1, text, markdown)],
-        page_count=1, processing_mode="html", charset=charset,
+        page_count=1, processing_mode=mode, charset=charset,
         canonical_url=meta["canonical"], robots=meta["robots"],
     )
 

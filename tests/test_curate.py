@@ -217,8 +217,12 @@ def test_curate_sf01_scale_stage_counts(tmp_path):
     from docvision_spark.corpus import CORPUS_VERSION
     # v10 == v9 text content (K-variant rasters); v11-v14 == v10 text
     # content (the scanned slice's /DCTDecode, /JBIG2Decode, /JPXDecode
-    # and flate-transport variants change raster bytes only)
-    if CORPUS_VERSION in (10, 11, 12, 13, 14):
+    # and flate-transport variants change raster bytes only); v15 swaps
+    # ~2% of html pages for syndication XML (feeds carry no noindex /
+    # promo template, so robots drops shrink and boilerplate line counts
+    # shift): extract_errors 47 / robots 19435 -> 19444 / quality
+    # 19408 -> 19417 / boiler 4454 -> 4345.
+    if CORPUS_VERSION == 15:
         # exact deterministic counts for this corpus version (seeded corpus
         # + seeded kernel -> the whole report is reproducible bit-for-bit);
         # on a version bump the invariants above still gate while these pins
@@ -226,9 +230,9 @@ def test_curate_sf01_scale_stage_counts(tmp_path):
         # scanned-slice docs whose CCITT rasters now decode extract their
         # text instead of erroring; only the 1% JBIG2 slice remains).
         assert rep["extract_errors"] == 47
-        assert rep["after_robots"] == 19435
-        assert rep["quality_pass"] == 19408
-        assert rep["boiler_lines_stripped"] == 4454
+        assert rep["after_robots"] == 19444
+        assert rep["quality_pass"] == 19417
+        assert rep["boiler_lines_stripped"] == 4345
     # curated output is readable and consistent with the report
     import duckdb
     n = duckdb.sql(

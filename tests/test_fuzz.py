@@ -184,3 +184,30 @@ def test_vp8l_bitflip_total(flips, seed):
         assert out.ndim == 3
     except ImageDecodeError:
         pass
+
+
+feed_ish = st.lists(
+    st.sampled_from([
+        "<rss>", "</rss>", "<channel>", "</channel>", "<item>", "</item>",
+        "<feed>", "</feed>", "<entry>", "</entry>", "<title>", "</title>",
+        "<description>", "</description>", "<content:encoded>",
+        "</content:encoded>", "<content type=\"xhtml\">", "</content>",
+        "<summary>", "</summary>", "<![CDATA[", "]]>", "<p>", "</p>",
+        "&lt;p&gt;", "&amp;", "<link href='x'/>", "word soup here ",
+        "<?xml version=\"1.0\"?>", "<!-- c -->", "<", ">", "&bogus;",
+    ]), max_size=50).map("".join)
+
+
+@settings(max_examples=300, deadline=None)
+@given(s=feed_ish)
+def test_feed_blocks_total_and_deterministic(s):
+    from docvision_spark.kernel.feed import feed_blocks, looks_like_feed
+
+    looks_like_feed(s)  # total on any string
+    doc = "<rss><channel>" + s  # force the feed path
+    a = feed_blocks(doc)
+    b = feed_blocks(doc)
+    assert [(x.kind, x.text, x.level) for x in a] == \
+           [(x.kind, x.text, x.level) for x in b]
+    from docvision_spark.kernel.markdown import emit
+    emit(a)  # block stream is emit-compatible: never raises
