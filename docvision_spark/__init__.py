@@ -13,4 +13,4 @@ pages table — no per-row Python, resumable snapshots, per-partition lineage.
 __version__ = "0.3.1"
 
 # bump on any kernel-output-visible change (goldens must be regenerated)
-EXTRACTOR_VERSION = "docvision-spark-kernel/0.10.0"  # 0.10: RSS/Atom feed extraction (processing_mode=feed); 0.9: full WHATWG entity table
+EXTRACTOR_VERSION = "docvision-spark-kernel/0.11.0"  # 0.11: out-link capture (web-graph edges); 0.10: RSS/Atom feed extraction

@@ -89,6 +89,17 @@ class _Open:
     signal: int  # -1 / 0 / +1 resolved at open time
 
 
+# out-link capture: one cheap regex per <a ... href=...>; hrefs stay RAW
+# here (entity-decoded, not resolved) — resolution against the page url is
+# a JVM-side expression at the Spark layer (functions/urls.resolve_href),
+# where it runs inside whole-stage codegen instead of the Python hot path
+_HREF_RE = re.compile(r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+                      re.IGNORECASE)
+# non-navigational schemes / fragments: not edges of the web graph
+_NON_LINK = ("#", "javascript:", "mailto:", "tel:", "data:", "about:")
+MAX_LINKS = 2048  # per-document out-link cap (scale guard, like MAX_DOC_BYTES)
+
+
 class _Builder:
     def __init__(self) -> None:
         self.blocks: list[Block] = []
@@ -110,6 +121,9 @@ class _Builder:
         # head metadata (first occurrence wins, like browsers)
         self.canonical: str | None = None   # <link rel=canonical href>
         self.robots: str | None = None      # <meta name=robots content>, lower
+        # out-links: raw hrefs in document order, exact-deduped, capped
+        self.links: list[str] = []
+        self._links_seen: set[str] = set()
 
     # -- signals ---------------------------------------------------------
     def _resolve_signal(self, name: str, attrs_raw: str) -> int:
@@ -191,6 +205,15 @@ class _Builder:
     def _open(self, name: str, attrs_raw: str, self_closing: bool) -> None:
         if name == "a":
             self.anchor_depth += 1
+            if attrs_raw and len(self.links) < MAX_LINKS:
+                m = _HREF_RE.search(attrs_raw)
+                if m:
+                    href = decode_entities(
+                        m.group(2) or m.group(3) or m.group(4) or "").strip()
+                    if href and not href.lower().startswith(_NON_LINK) \
+                            and href not in self._links_seen:
+                        self._links_seen.add(href)
+                        self.links.append(href)
             self.stack.append(_Open(name, self._resolve_signal(name, attrs_raw)))
             return
         if name == "br":
@@ -361,4 +384,5 @@ def segment_with_meta(html: str) -> tuple[list[Block], dict]:
     robots=noindex marks pages the publisher excludes from indexing."""
     b = _Builder()
     blocks = b.run(html)
-    return blocks, {"canonical": b.canonical, "robots": b.robots}
+    return blocks, {"canonical": b.canonical, "robots": b.robots,
+                    "links": b.links}

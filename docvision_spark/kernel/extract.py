@@ -45,6 +45,10 @@ class ExtractResult:
     # a curation pipeline consults both before paying dedup/training cost
     canonical_url: str | None = None   # <link rel=canonical href=...>
     robots: str | None = None          # <meta name=robots content=...>, lower
+    # out-links (HTML only): RAW deduped hrefs in document order, capped at
+    # dom.MAX_LINKS; resolution against the page url happens JVM-side
+    # (functions/urls.resolve_href) — the web-graph edge source
+    links: list[str] = field(default_factory=list)
 
 
 def sha3_id(text: str) -> str:
@@ -65,7 +69,7 @@ def _extract_html(payload: bytes) -> ExtractResult:
         # headings + each entry's HTML content through the same
         # segment/classify/emit chain (kernel/feed.py)
         blocks = feed_blocks(decoded)
-        mode, meta = "feed", {"canonical": None, "robots": None}
+        mode, meta = "feed", {"canonical": None, "robots": None, "links": []}
     else:
         blocks, meta = segment_with_meta(decoded)
         mode = "html"
@@ -79,6 +83,7 @@ def _extract_html(payload: bytes) -> ExtractResult:
         pages=[(1, text, markdown)],
         page_count=1, processing_mode=mode, charset=charset,
         canonical_url=meta["canonical"], robots=meta["robots"],
+        links=meta["links"],
     )
 
 

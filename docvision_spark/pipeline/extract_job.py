@@ -67,6 +67,8 @@ OUTPUT_SCHEMA = StructType([
     # head metadata (HTML): the publisher's own dup signal + index policy
     StructField("canonical_url", StringType()),
     StructField("robots", StringType()),
+    # out-links: raw deduped hrefs (web-graph edges; resolved JVM-side)
+    StructField("links", ArrayType(StringType())),
     StructField("extractor_version", StringType()),
     StructField("processing_time", DoubleType()),
     StructField("bytes_in", LongType()),
@@ -133,6 +135,7 @@ def _extract_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "truncated": r.truncated,
                 "canonical_url": r.canonical_url,
                 "robots": r.robots,
+                "links": r.links,
                 "extractor_version": EXTRACTOR_VERSION,
                 "processing_time": dt,
                 "bytes_in": nbytes,

@@ -48,7 +48,8 @@ _XCACHE_DOCS = os.path.join(_XCACHE_DIR, "docs.parquet")
 _XCACHE_PAGES = os.path.join(_XCACHE_DIR, "pages.parquet")
 
 
-_XCACHE_REV = 3  # rev 3: canonical_url + robots head-metadata columns
+_XCACHE_REV = 4  # rev 4: links column (out-link hrefs, web-graph edges);
+#                  rev 3: canonical_url + robots head-metadata columns
 
 
 def _xcache(spark: SparkSession, sf: str) -> None:
@@ -83,8 +84,8 @@ def _xcache(spark: SparkSession, sf: str) -> None:
     (validation_flags(out)
         .select("url", "id", F.length("text").alias("n_chars"), "markdown",
                 "page_count", "processing_mode", "lang", "charset",
-                "truncated", "canonical_url", "robots", "bytes_in", "error",
-                *flag_cols)
+                "truncated", "canonical_url", "robots", "links", "bytes_in",
+                "error", *flag_cols)
         .write.mode("overwrite").parquet(_XCACHE_DOCS))
     (page_rows(out).select("url", "page_no", "markdown")
         .write.mode("overwrite").parquet(_XCACHE_PAGES))
@@ -800,6 +801,86 @@ def b01_host_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# host-extraction regex shared by the webgraph queries — the SAME pattern
+# string runs in Spark (Java regex) and the DuckDB oracle (RE2); it uses no
+# construct the two engines disagree on
+_HOST_PAT = r"^[a-z]+://([^/:?#]+)"
+# PageRank fixed-point arithmetic: all-integer so Spark and the SQL oracle
+# agree bit-for-bit (float summation order differs between engines)
+_PR_SCALE = 10 ** 12
+_PR_ITERS = 5
+
+
+def _host_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-graph edge stream from the extraction table's out-links: explode
+    the raw hrefs, resolve each against its page url JVM-side
+    (urls.resolve_href — whole-stage codegen, no Python), project to
+    (src_host, dst_host). Scale shape: one explode + one projection; the
+    resolve is expression-only so Catalyst pushes the empty-host filters
+    into the same stage."""
+    from docvision_spark.functions.urls import resolve_href
+
+    d = _xdocs(spark, sf).filter(F.col("error").isNull())
+    e = (d.select("url", F.explode("links").alias("href"))
+          .withColumn("target", resolve_href(F.col("url"), F.col("href")))
+          .withColumn("src_host", F.regexp_extract("url", _HOST_PAT, 1))
+          .withColumn("dst_host", F.regexp_extract("target", _HOST_PAT, 1)))
+    return e.filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+
+
+def g01_host_links(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-level link-graph rollup over the extracted out-links (the v16
+    corpus plants cross-host partner links in the link-dense footer).
+    Training pipelines consume this as a quality prior (in-link counts)
+    and a frontier signal. Aggregates are counts only — bit-stable."""
+    e = _host_edges(spark, sf)
+    return (e.groupBy("src_host", "dst_host")
+             .agg(F.count(F.lit(1)).alias("n_links"),
+                  F.countDistinct("url").alias("n_src_docs")))
+
+
+def g02_host_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Host-graph PageRank, the classic link-quality score (damping 0.85,
+    _PR_ITERS fixed iterations), in ALL-INTEGER arithmetic: ranks live on a
+    10^12 fixed-point scale, contributions are rank div outdeg, and the
+    damping step is (85 * mass) div 100 — identical bit-for-bit in Spark
+    (`div`) and the DuckDB oracle (`//`), because float summation order
+    is engine-dependent but int64 sums are exact. Dangling-host mass is
+    dropped (consistently on both sides). Self-loops (the dominant
+    same-host links) are excluded so the graph is the CROSS-host graph.
+
+    Scale shape: edges/outdeg localCheckpointed once; each iteration is
+    one join + partial-agg shuffle on dst_host; the loop is O(iters)
+    stages with no lineage growth (checkpointed per step) — the same
+    pointer-doubling discipline as d06_dup_clusters."""
+    edges = (_host_edges(spark, sf)
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .select("src_host", "dst_host").distinct().localCheckpoint())
+    hosts = (edges.select(F.col("src_host").alias("host"))
+             .union(edges.select(F.col("dst_host").alias("host")))
+             .distinct().localCheckpoint())
+    n = hosts.count()
+    if n == 0:
+        return hosts.withColumn("rank", F.lit(0).cast("long"))
+    outdeg = edges.groupBy("src_host").agg(F.count(F.lit(1)).alias("outdeg"))
+    tele = (15 * _PR_SCALE) // (100 * n)
+    rank = hosts.withColumn("rank", F.lit(_PR_SCALE // n).cast("long"))
+    for _ in range(_PR_ITERS):
+        contrib = (edges.join(rank, edges.src_host == rank.host)
+                        .join(outdeg, "src_host")
+                        .select(F.col("dst_host"),
+                                F.expr("rank div outdeg").alias("c"))
+                        .groupBy("dst_host")
+                        .agg(F.sum("c").alias("mass")))
+        rank = (hosts.join(contrib, hosts.host == contrib.dst_host, "left")
+                     .select("host",
+                             (F.lit(tele)
+                              + F.expr("(85 * coalesce(mass, 0L)) div 100")
+                              ).cast("long").alias("rank"))
+                     .localCheckpoint())
+    return rank
+
+
 def x04_page_assembly_md(spark: SparkSession, sf: str) -> DataFrame:
     """K3/A1 sink shape: assembled markdown per document from REAL per-page
     rows (multi-page PDFs keep their 1-indexed page numbers). The assembly
@@ -1026,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "i02_incremental_minhash": i02_incremental_minhash,
         "u01_url_canonical": u01_url_canonical,
         "b01_host_boilerplate": b01_host_boilerplate,
+        "g01_host_links": g01_host_links,
+        "g02_host_pagerank": g02_host_pagerank,
         "t08_bpe_tokens": t08_bpe_tokens,
         "t09_repetition": t09_repetition,
         "t10_hash_sample": t10_hash_sample,
@@ -1064,16 +1147,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   r5:    q04/q05 parked (green r1/r2/r3/r4); q03/q07, s04/m02
         #          back inside.  Mid-round, the new i01/i02 incremental-
         #          dedup queries entered the window, parking q06/q08
-        #          (green r1-r4) at 53-54 beside q04/q05.
+        #          (green r1-r4) at 53-54 beside q04/q05; later the new
+        #          g01/g02 webgraph queries entered, parking s04/m02
+        #          (green r4) at 51-52.
         # Parked queries' operators stay evidenced: q04 (window running
         # sum) by q10/q11's window functions, q05 (sessionize lag/gap) by
         # q11's lag, q06 (date-truncated groupBy) by q11's month rollup,
-        # q08 (dim-join + groupBy) by q02/q03/q10.
+        # q08 (dim-join + groupBy) by q02/q03/q10, s04 (all-pairs cosine)
+        # by s01/s06's verified candidate cosines, m02's banded-hamming
+        # join by d02's identical band machinery.
         # tests/test_queries_oracle.py::test_driver_verified_window pins
         # the intended membership.
+        # positions 51-56 (outside the driver window this round):
         "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
         "m02_image_dups": m02_image_dups,
-        # positions 51-54 (outside the driver window this round):
         "q04_running_value": q04_running_value,
         "q05_sessionize": q05_sessionize,
         "q06_event_type_daily": q06_event_type_daily,
@@ -1567,6 +1654,105 @@ def oracle_sql() -> dict[str, str]:
                    sum(bytes_in)::bigint as bytes_in
             from read_parquet('{_XCACHE_DOCS}/*.parquet')
             group by 1
+        """,
+        "g01_host_links": f"""
+            with raw as (
+              select url, unnest(links) as href
+              from read_parquet('{_XCACHE_DOCS}/*.parquet')
+              where error is null and links is not null
+            ), res as (
+              select url,
+                case
+                  when regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                    then href
+                  when href like '//%' then
+                    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)
+                      || ':' || href
+                  when href like '/%' then
+                    regexp_extract(url,
+                      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || href
+                  else coalesce(nullif(regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)', 1), ''),
+                       regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || '/')
+                       || href
+                end as target
+              from raw
+            ), hosts as (
+              select regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)
+                       as src_host,
+                     regexp_extract(target, '^[a-z]+://([^/:?#]+)', 1)
+                       as dst_host,
+                     url
+              from res
+            )
+            select src_host, dst_host, count(*) as n_links,
+                   count(distinct url) as n_src_docs
+            from hosts
+            where src_host <> '' and dst_host <> ''
+            group by 1, 2
+        """,
+        "g02_host_pagerank": f"""
+            with raw as (
+              select url, unnest(links) as href
+              from read_parquet('{_XCACHE_DOCS}/*.parquet')
+              where error is null and links is not null
+            ), res as (
+              select url,
+                case
+                  when regexp_matches(href, '^[a-zA-Z][a-zA-Z0-9+.-]*://')
+                    then href
+                  when href like '//%' then
+                    regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1)
+                      || ':' || href
+                  when href like '/%' then
+                    regexp_extract(url,
+                      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || href
+                  else coalesce(nullif(regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^?#]*/)', 1), ''),
+                       regexp_extract(url,
+                         '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1) || '/')
+                       || href
+                end as target
+              from raw
+            ), edges as (
+              select distinct
+                     regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)
+                       as src_host,
+                     regexp_extract(target, '^[a-z]+://([^/:?#]+)', 1)
+                       as dst_host
+              from res
+              where regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) <> ''
+                and regexp_extract(target, '^[a-z]+://([^/:?#]+)', 1) <> ''
+                and regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)
+                    <> regexp_extract(target, '^[a-z]+://([^/:?#]+)', 1)
+            ), hosts as (
+              select src_host as host from edges
+              union
+              select dst_host from edges
+            ), nn as (select count(*) as n from hosts),
+            outdeg as (
+              select src_host, count(*) as outdeg from edges group by 1
+            ),
+            r0 as (
+              select host, ({_PR_SCALE} // nn.n)::bigint as rank
+              from hosts, nn
+            ),
+            {" ".join(f'''
+            r{k} as (
+              select h.host,
+                     ((select (15 * {_PR_SCALE}) // (100 * n) from nn)
+                      + (85 * coalesce(m.mass, 0)) // 100)::bigint as rank
+              from hosts h left join (
+                select e.dst_host, sum(r.rank // o.outdeg) as mass
+                from edges e
+                join r{k - 1} r on r.host = e.src_host
+                join outdeg o on o.src_host = e.src_host
+                group by e.dst_host
+              ) m on m.dst_host = h.host
+            )''' + ("," if k < _PR_ITERS else "")
+                    for k in range(1, _PR_ITERS + 1))}
+            select host, rank from r{_PR_ITERS}
         """,
         "x04_page_assembly_md": f"""
             select url, count(*) as n_pages,

@@ -222,7 +222,7 @@ def test_curate_sf01_scale_stage_counts(tmp_path):
     # promo template, so robots drops shrink and boilerplate line counts
     # shift): extract_errors 47 / robots 19435 -> 19444 / quality
     # 19408 -> 19417 / boiler 4454 -> 4345.
-    if CORPUS_VERSION == 15:
+    if CORPUS_VERSION in (15, 16):
         # exact deterministic counts for this corpus version (seeded corpus
         # + seeded kernel -> the whole report is reproducible bit-for-bit);
         # on a version bump the invariants above still gate while these pins

@@ -672,3 +672,55 @@ def test_image_xobject_transport_filter_chains():
         120, 90, "/BitsPerComponent 8 /ColorSpace /DeviceGray "
         "/Filter [/FlateDecode /DCTDecode] ", b"not zlib data")
     assert pdf_image_xobjects(pdf3) == []
+
+
+def test_out_link_capture():
+    """Out-links: raw hrefs in document order, deduped, fragments and
+    non-navigational schemes dropped, capped at MAX_LINKS; feeds and PDFs
+    carry no links."""
+    from docvision_spark.kernel.dom import MAX_LINKS
+    from docvision_spark.kernel.extract import extract
+
+    h = (b'<html><body><main><p>'
+         + b'Body paragraph long enough to matter for the classifier.</p>'
+         + b'<a href="/one">1</a><a href="https://x.example.net/p">2</a>'
+         + b'<a href="//cdn.example.org/a">3</a><a href="#top">f</a>'
+         + b'<a HREF="/up">caps-attr</a>'
+         + b"<a href='single.html'>q</a>"
+         + b'<a href="JAVASCRIPT:x()">js</a><a href="mailto:a@b">m</a>'
+         + b'<a href="tel:+1">t</a><a href="data:text/plain,x">d</a>'
+         + b'<a href="/one">dup</a><a href="r&amp;d.html">ent</a>'
+         + b'</main></body></html>')
+    r = extract("https://host.example.com/dir/page", h)
+    assert r.links == ["/one", "https://x.example.net/p",
+                       "//cdn.example.org/a", "/up", "single.html",
+                       "r&d.html"]
+    # cap: a page with > MAX_LINKS distinct hrefs stops at the cap
+    many = b"".join(b'<a href="/l/%d">x</a>' % i for i in range(MAX_LINKS + 50))
+    r2 = extract("https://h.example.com/", b"<html><body>" + many)
+    assert len(r2.links) == MAX_LINKS
+    # non-HTML modes carry no links
+    import random
+
+    from docvision_spark.corpus import make_feed
+    rf = extract("http://e.com/f", make_feed("http://e.com/f",
+                                             random.Random(3), "en"))
+    assert rf.processing_mode == "feed" and rf.links == []
+
+
+def test_host_pagerank_semantics(spark):
+    """Integer PageRank invariants on the sf0.001 graph: every rank >= the
+    teleport floor, hub hosts outrank leaf hosts, and total mass is
+    bounded by SCALE (dangling/rounding mass only ever leaks out)."""
+    from docvision_spark.queries import _PR_SCALE, g02_host_pagerank
+
+    rows = g02_host_pagerank(spark, "/root/testdata/sf0.001").collect()
+    n = len(rows)
+    assert n > 1
+    tele = (15 * _PR_SCALE) // (100 * n)
+    ranks = {r["host"]: r["rank"] for r in rows}
+    assert all(v >= tele for v in ranks.values())
+    assert sum(ranks.values()) <= _PR_SCALE + n  # no mass invented
+    # the popularity-ordered corpus topology: the hot host strictly
+    # outranks the lowest-indexed leaf host
+    assert ranks["bigportal.example.com"] > ranks["press.example.biz"]

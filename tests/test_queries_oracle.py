@@ -101,16 +101,18 @@ def test_driver_verified_window():
     50 registered queries (cap observed in rounds 2-3). Round 5 rotates
     q03/q07 (parked in r4) back into the window and parks q04/q05
     (driver-green in r1-r4); the new i01/i02 incremental-dedup queries
-    enter early, additionally parking q06/q08 (green r1-r4) at 53-54.
-    This test fails loudly if an insertion silently changes which queries
-    the driver verifies."""
+    enter early, additionally parking q06/q08 (green r1-r4); the new
+    g01/g02 webgraph queries enter early, additionally parking s04/m02
+    (green r4) at 51-52. This test fails loudly if an insertion silently
+    changes which queries the driver verifies."""
     names = list(entry_mod.queries().keys())
     window, parked = names[:50], names[50:]
-    assert parked == ["q04_running_value", "q05_sessionize",
+    assert parked == ["s04_cosine_dup_pairs", "m02_image_dups",
+                      "q04_running_value", "q05_sessionize",
                       "q06_event_type_daily", "q08_brand_volume"], parked
-    for must_verify in ("s04_cosine_dup_pairs", "m02_image_dups",
-                        "q03_region_rollup", "q07_order_priority",
+    for must_verify in ("q03_region_rollup", "q07_order_priority",
                         "u01_url_canonical", "b01_host_boilerplate",
-                        "i01_incremental_exact", "i02_incremental_minhash"):
+                        "i01_incremental_exact", "i02_incremental_minhash",
+                        "g01_host_links", "g02_host_pagerank"):
         assert must_verify in window, f"{must_verify} fell out of the window"
-    assert len(names) == len(set(names)) == 54
+    assert len(names) == len(set(names)) == 56
