@@ -87,8 +87,9 @@ HEADLINE = [
     "d01_minhash_pairs", "d02_simhash_pairs", "d04_winnow_fingerprints",
     "s01_topk_cosine", "s02_knn_sample",
     "m02_image_dups", "t08_bpe_tokens", "c01_chunks",
-    # u01 deliberately excluded: it triggers the one-time sf0.1 xcache build
-    # (a full extraction pass) which would dominate its timing slot
+    # u01/g01/g02 deliberately excluded: they trigger the one-time sf0.1
+    # xcache build (a full extraction pass) which would dominate their
+    # timing slots; the extraction stage itself IS the headline number
 ]
 
 
