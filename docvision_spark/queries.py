@@ -881,6 +881,95 @@ def g02_host_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return rank
 
 
+def _robots_fixture() -> list[tuple[str, str]]:
+    """Deterministic per-host robots.txt bodies (RFC 9309 fixture): a
+    bot-specific group with a wildcard Disallow + a longer Allow override,
+    a `*` fallback group, and two hosts with NO robots.txt at all so the
+    default-allowed path is exercised. Pure function of corpus.HOSTS —
+    the oracle SQL embeds the parsed rules as literals."""
+    from docvision_spark.corpus import HOSTS
+
+    out = []
+    for i, h in enumerate(HOSTS):
+        if i % 5 == 4:
+            continue  # no robots.txt for these hosts
+        lines = [
+            "# synthetic policy", "User-agent: docvision-bot",
+            f"Disallow: /p/{i % 3:x}*",
+            f"Allow: /p/{i % 3:x}{(i * 7) % 16:x}*",
+            "", "User-agent: *", "Disallow: /admin",
+        ]
+        if i % 3 == 0:
+            lines.insert(4, "Disallow: /*0$")
+        out.append((h, "\n".join(lines)))
+    return out
+
+
+def r01_robots_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """Crawl-permission gate (RFC 9309): per-host url counts vs how many
+    the bot's robots.txt group allows — longest-match precedence with
+    Allow winning ties, wildcard/$ patterns, default-allowed for hosts
+    without a robots.txt. Scale shape: the rule table is per-host
+    configuration (KBs), so it BROADCASTS against the url table — no
+    shuffle of the big side (functions/robots.crawl_allowed)."""
+    from docvision_spark.functions.robots import (crawl_allowed,
+                                                  robots_rules_df)
+
+    urls = _xdocs(spark, sf).select("url")
+    rules = robots_rules_df(spark, _robots_fixture(), agent="docvision-bot")
+    return (crawl_allowed(urls, rules)
+            .withColumn("host", F.regexp_extract("url", _HOST_PAT, 1))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_urls"),
+                 F.sum(F.when(F.col("allowed"), 1).otherwise(0))
+                  .cast("long").alias("n_allowed")))
+
+
+def _r01_sql() -> str:
+    """The DuckDB twin embeds the SAME reduced rule set (parsed + agent-
+    selected driver-side, regexes from the same translator) as literals,
+    and replicates longest-match / Allow-wins-ties via row_number."""
+    from docvision_spark.functions.robots import (parse_robots_txt,
+                                                  pattern_to_regex,
+                                                  select_agent)
+
+    vals = []
+    for host, txt in _robots_fixture():
+        rules, _ = parse_robots_txt(txt)
+        grp = select_agent({r["agent"] for r in rules}, "docvision-bot")
+        for r in rules:
+            if r["agent"] == grp:
+                vals.append(
+                    f"('{host}', {str(r['allow']).lower()}, "
+                    f"'{pattern_to_regex(r['pattern'])}', "
+                    f"{len(r['pattern'])})")
+    values = ", ".join(vals)
+    return f"""
+        with rules(host, allow, regex, length) as (values {values}),
+        u as (
+          select url,
+                 regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) as host,
+                 coalesce(nullif(regexp_extract(url,
+                     '^[a-z]+://[^/]+(/[^#]*)', 1), ''), '/') as path
+          from read_parquet('{_XCACHE_DOCS}/*.parquet')
+        ),
+        hits as (
+          select u.url, r.allow,
+                 row_number() over (partition by u.url
+                                    order by r.length desc, r.allow desc)
+                   as rn
+          from u join rules r
+            on r.host = u.host and regexp_matches(u.path, r.regex)
+        )
+        select u.host, count(*) as n_urls,
+               sum(case when coalesce(h.allow, true) then 1 else 0
+                   end)::bigint as n_allowed
+        from u left join (select url, allow from hits where rn = 1) h
+          using (url)
+        group by 1
+    """
+
+
 def x04_page_assembly_md(spark: SparkSession, sf: str) -> DataFrame:
     """K3/A1 sink shape: assembled markdown per document from REAL per-page
     rows (multi-page PDFs keep their 1-indexed page numbers). The assembly
@@ -1090,7 +1179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q07_order_priority": q07_order_priority,
         "q09_props_json": q09_props_json,
         "q10_nation_revenue_rank": q10_nation_revenue_rank,
-        "q11_monthly_growth": q11_monthly_growth,
         "t06_langid_accuracy": t06_langid_accuracy,
         "a01_page_assembly": a01_page_assembly,
         "p01_empty_filter": p01_empty_filter,
@@ -1109,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "b01_host_boilerplate": b01_host_boilerplate,
         "g01_host_links": g01_host_links,
         "g02_host_pagerank": g02_host_pagerank,
+        "r01_robots_gate": r01_robots_gate,
         "t08_bpe_tokens": t08_bpe_tokens,
         "t09_repetition": t09_repetition,
         "t10_hash_sample": t10_hash_sample,
@@ -1149,16 +1238,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #          dedup queries entered the window, parking q06/q08
         #          (green r1-r4) at 53-54 beside q04/q05; later the new
         #          g01/g02 webgraph queries entered, parking s04/m02
-        #          (green r4) at 51-52.
+        #          (green r4); the r01 robots gate entered, parking q11
+        #          (green r1-r4).
         # Parked queries' operators stay evidenced: q04 (window running
         # sum) by q10/q11's window functions, q05 (sessionize lag/gap) by
         # q11's lag, q06 (date-truncated groupBy) by q11's month rollup,
-        # q08 (dim-join + groupBy) by q02/q03/q10, s04 (all-pairs cosine)
+        # q08 (dim-join + groupBy) by q02/q03/q10, q11 (lag/window
+        # growth) by q10's rank window + q04/q05's parked twins-by-proxy,
+        # s04 (all-pairs cosine)
         # by s01/s06's verified candidate cosines, m02's banded-hamming
         # join by d02's identical band machinery.
         # tests/test_queries_oracle.py::test_driver_verified_window pins
         # the intended membership.
-        # positions 51-56 (outside the driver window this round):
+        # positions 51-57 (outside the driver window this round):
+        "q11_monthly_growth": q11_monthly_growth,
         "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
         "m02_image_dups": m02_image_dups,
         "q04_running_value": q04_running_value,
@@ -1655,6 +1748,7 @@ def oracle_sql() -> dict[str, str]:
             from read_parquet('{_XCACHE_DOCS}/*.parquet')
             group by 1
         """,
+        "r01_robots_gate": _r01_sql(),
         "g01_host_links": f"""
             with raw as (
               select url, unnest(links) as href
