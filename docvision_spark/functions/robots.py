@@ -154,14 +154,18 @@ def robots_rules_df(spark, robots: list[tuple[str, str]], agent: str = "*"
 
 def crawl_allowed(urls: DataFrame, rules: DataFrame,
                   url_col: str = "url") -> DataFrame:
-    """Per-url crawl permission: broadcast the (tiny) rule table against
-    the url table, apply longest-match / Allow-wins-ties, default allowed.
+    """Per-url crawl permission: append an `allowed` column (longest-match
+    precedence, Allow wins ties, default allowed) preserving every input
+    column and row.
 
-    Scale shape: rules are per-host configuration — kilobytes per host —
-    so the join is broadcast (no shuffle of the url side); the verdict is
-    a grouped max over (length, allow) struct ordering, which Spark
-    computes as a partial aggregate on the url side's existing
-    partitioning."""
+    Scale shape: ZERO shuffle of the url side. The rule table is per-host
+    configuration — kilobytes per host — so it collapses to one
+    rules-array row per host and BROADCAST-joins; the verdict is a
+    higher-order `aggregate(filter(...))` fold over that array inside the
+    same projection. No groupBy, no join-back, no second pass over the
+    big table."""
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("length", "allow", "regex")).alias("_rules"))
     u = (urls.withColumn("_host",
                          F.regexp_extract(url_col, r"^[a-z]+://([^/:?#]+)", 1))
              .withColumn("_path",
@@ -170,18 +174,20 @@ def crawl_allowed(urls: DataFrame, rules: DataFrame,
                                  url_col, r"^[a-z]+://[^/]+(/[^#]*)", 1),
                                  F.lit("")),
                              F.lit("/"))))
-    j = u.join(F.broadcast(rules), u._host == rules.host, "left")
-    matched = j.withColumn(
-        "_hit", F.col("regex").isNotNull()
-                 & F.expr("_path rlike regex"))
-    # longest-match precedence; Allow wins length ties -> order by
-    # (length, allow) and take the max struct per url
-    verdict = (
-        matched.groupBy(url_col)
-               .agg(F.max(F.when(F.col("_hit"),
-                                 F.struct(F.col("length"),
-                                          F.col("allow")))).alias("_best"))
-               .withColumn("allowed",
-                           F.coalesce(F.col("_best.allow"), F.lit(True)))
-               .drop("_best"))
-    return verdict
+    j = u.join(F.broadcast(per_host), u["_host"] == per_host["host"], "left")
+    verdict = F.expr("""
+        coalesce(
+          aggregate(
+            filter(_rules, r -> _path rlike r.regex),
+            cast(null as struct<length: int, allow: boolean>),
+            (acc, r) -> case
+              when acc is null
+                   or r.length > acc.length
+                   or (r.length = acc.length and r.allow and not acc.allow)
+              then named_struct('length', r.length, 'allow', r.allow)
+              else acc end
+          ).allow,
+          true)
+    """)
+    return (j.withColumn("allowed", verdict)
+             .drop("_rules", "_host", "_path", "host"))

@@ -54,6 +54,14 @@ def main() -> None:
     ap.add_argument("--no-artifacts", action="store_true",
                     help="skip writing the minhash artifacts next runs' "
                          "--history consumes")
+    ap.add_argument("--robots", default=None, metavar="PARQUET",
+                    help="parquet of (host string, robots_txt string): "
+                         "gate urls through each host's robots.txt "
+                         "(RFC 9309, functions/robots.py) BEFORE paying "
+                         "extraction cost; disallowed urls drop like url "
+                         "dups. Hosts absent from the table are allowed.")
+    ap.add_argument("--robots-agent", default="docvision-bot",
+                    help="user-agent token for --robots group selection")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -79,6 +87,21 @@ def main() -> None:
     report["input_pages"] = pages.count()
     pages = url_dedup(pages).drop("canonical_url")
     report["after_url_dedup"] = pages.count()
+
+    # 0b. robots.txt gate BEFORE extraction (opt-in): machine-readable
+    #     crawl permissions are a url-level predicate, so they belong with
+    #     url dedup — ahead of every per-byte cost. The rule table is
+    #     per-host configuration and broadcasts; no shuffle of the pages.
+    if args.robots:
+        from docvision_spark.functions.robots import (crawl_allowed,
+                                                      robots_rules_df)
+
+        robots_rows = [(r["host"], r["robots_txt"])
+                       for r in spark.read.parquet(args.robots).collect()]
+        rules = robots_rules_df(spark, robots_rows, agent=args.robots_agent)
+        pages = (crawl_allowed(pages, rules)
+                 .filter(F.col("allowed")).drop("allowed"))
+        report["after_robots_txt"] = pages.count()
 
     # 1. extract (cache: every later stage reuses it)
     out = extract_pages(pages).cache()

@@ -308,3 +308,77 @@ def test_curate_history_recrawl_mode(tmp_path):
         f"select url from read_parquet("
         f"'{tmp_path}/out_inc/data/*.parquet')").fetchall()}
     assert urls == {u for u, _ in novel}
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_curate_robots_txt_gate(tmp_path):
+    """--robots gates urls through per-host robots.txt BEFORE extraction:
+    disallowed paths drop (wildcard + Allow-override semantics), hosts
+    absent from the robots table pass, and the report records the stage."""
+    import datetime as dt
+
+    def page(host: str, path: str, seed: int) -> tuple[str, bytes]:
+        import random as _r
+        rng = _r.Random(seed)
+        words = ("market growth report annual revenue system analysis "
+                 "data model energy policy research climate software").split()
+        body = " ".join(rng.choice(words) for _ in range(120)) + "."
+        return (f"https://{host}{path}",
+                f"<html><body><main><p>{body}</p></main></body></html>"
+                .encode())
+
+    pages = [
+        page("a.ex.com", "/keep/1", 1),
+        page("a.ex.com", "/private/1", 2),     # disallowed
+        page("a.ex.com", "/private/ok/1", 3),  # Allow override wins
+        page("a.ex.com", "/doc.pdfx", 4),      # $ anchor: NOT matched
+        page("a.ex.com", "/doc.pdf", 5),       # /*.pdf$ -> disallowed
+        page("b.ex.com", "/private/1", 6),     # no robots row -> allowed
+    ]
+    schema = pa.schema([("url", pa.string()),
+                        ("warc_ts", pa.timestamp("us", tz="UTC")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    in_dir = tmp_path / "pages"
+    in_dir.mkdir()
+    ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    pq.write_table(pa.Table.from_pydict({
+        "url": [u for u, _ in pages],
+        "warc_ts": [ts] * len(pages),
+        "html": [h for _, h in pages],
+        "text": [None] * len(pages), "lang": ["en"] * len(pages),
+    }, schema=schema), str(in_dir / "part-0.parquet"))
+
+    robots_txt = ("User-agent: docvision-bot\n"
+                  "Disallow: /private/\n"
+                  "Allow: /private/ok/\n"
+                  "Disallow: /*.pdf$\n")
+    rob_dir = tmp_path / "robots"
+    rob_dir.mkdir()
+    pq.write_table(pa.Table.from_pydict(
+        {"host": ["a.ex.com"], "robots_txt": [robots_txt]},
+        schema=pa.schema([("host", pa.string()),
+                          ("robots_txt", pa.string())])),
+        str(rob_dir / "part-0.parquet"))
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(in_dir), "--output", out_dir,
+         "--robots", str(rob_dir), "--cores", "4", "--min-quality", "20"],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["after_robots_txt"] == 4   # dropped /private/1, /doc.pdf
+
+    import duckdb
+    urls = {u for (u,) in duckdb.connect().execute(
+        f"select url from read_parquet('{out_dir}/data/*.parquet')"
+    ).fetchall()}
+    assert "https://a.ex.com/private/1" not in urls
+    assert "https://a.ex.com/doc.pdf" not in urls
+    assert "https://a.ex.com/private/ok/1" in urls
+    assert "https://a.ex.com/doc.pdfx" in urls
+    assert "https://b.ex.com/private/1" in urls
