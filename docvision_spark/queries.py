@@ -970,6 +970,102 @@ def _r01_sql() -> str:
     """
 
 
+def _sitemap_fixture_df(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-host sitemap payloads derived from the corpus's
+    own urls by an md5 sieve, so the ORACLE can re-derive the listed set
+    in pure SQL (md5 agrees byte-for-byte across Spark/DuckDB/python):
+    listed = crawled urls whose md5 starts 0-7 (~50%), plus a NOVEL
+    frontier twin url+'?v=2' for digit 0 (~6%, never crawled). Wire
+    format varies by host hash (gzip / plain-text / XML) so all three
+    parser branches run. Built DISTRIBUTED — collect_list per host +
+    mapInPandas encode; no driver collect."""
+    u = (_xdocs(spark, sf).select("url")
+         .withColumn("host", F.regexp_extract("url", _HOST_PAT, 1))
+         .withColumn("d", F.substring(F.md5("url"), 1, 1)))
+    listed = u.filter(F.col("d") <= "7").select("host", "url")
+    novel = u.filter(F.col("d") == "0").select(
+        "host", F.concat("url", F.lit("?v=2")).alias("url"))
+    grouped = (listed.union(novel).groupBy("host")
+               .agg(F.sort_array(F.collect_list("url")).alias("urls")))
+
+    def fn(it):
+        import hashlib
+
+        import pandas as pd
+
+        from docvision_spark.functions.sitemaps import make_sitemap_xml
+
+        for pdf in it:
+            out = []
+            for host, urls in zip(pdf["host"], pdf["urls"]):
+                h = int(hashlib.md5(host.encode()).hexdigest()[:8], 16)
+                out.append({"host": host, "payload": make_sitemap_xml(
+                    list(urls), as_gzip=h % 3 == 0, as_text=h % 3 == 1)})
+            yield pd.DataFrame(out, dtype=object,
+                               columns=["host", "payload"])
+
+    return grouped.mapInPandas(fn, schema="host string, payload binary")
+
+
+def r02_sitemap_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    """Sitemap frontier diff: parse each host's sitemap (XML urlset /
+    plain-text / gzip — functions/sitemaps.py, mapInPandas) and compare
+    the listed urls against the crawled pages table. Per host: how many
+    urls the publisher lists, how many of those we have NOT crawled
+    (the frontier), and how many crawled urls the publisher does not
+    list. Because the fixture derives from an md5 sieve over the
+    corpus's own urls, the oracle re-derives the whole generate->parse->
+    diff path in SQL — a wrong parse cannot hash-match."""
+    from docvision_spark.functions.sitemaps import sitemap_entries
+
+    entries = (sitemap_entries(_sitemap_fixture_df(spark, sf))
+               .filter(F.col("loc").isNotNull())
+               .select("host", F.col("loc").alias("url")))
+    crawled = (_xdocs(spark, sf).select("url")
+               .withColumn("host", F.regexp_extract("url", _HOST_PAT, 1)))
+    n_listed = entries.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_listed"))
+    n_frontier = (entries.join(crawled.select("url"), "url", "left_anti")
+                  .groupBy("host").agg(F.count(F.lit(1)).alias("n_frontier")))
+    n_unlisted = (crawled.join(entries.select("url"), "url", "left_anti")
+                  .groupBy("host").agg(F.count(F.lit(1)).alias("n_unlisted")))
+    return (n_listed
+            .join(n_frontier, "host", "left")
+            .join(n_unlisted, "host", "left")
+            .select("host", "n_listed",
+                    F.coalesce("n_frontier", F.lit(0)).cast("long")
+                     .alias("n_frontier"),
+                    F.coalesce("n_unlisted", F.lit(0)).cast("long")
+                     .alias("n_unlisted")))
+
+
+def _r02_sql() -> str:
+    return f"""
+        with u as (
+          select url,
+                 regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) as host,
+                 substr(md5(url), 1, 1) as d
+          from read_parquet('{_XCACHE_DOCS}/*.parquet')
+        ),
+        listed as (
+          select host, url from u where d <= '7'
+          union all
+          select host, url || '?v=2' from u where d = '0'
+        ),
+        a as (select host, count(*) as n_listed from listed group by 1),
+        b as (select l.host, count(*) as n_frontier
+              from listed l left join u c on l.url = c.url
+              where c.url is null group by l.host),
+        c2 as (select c.host, count(*) as n_unlisted
+               from u c left join listed l on c.url = l.url
+               where l.url is null group by c.host)
+        select a.host, a.n_listed,
+               coalesce(b.n_frontier, 0)::bigint as n_frontier,
+               coalesce(c2.n_unlisted, 0)::bigint as n_unlisted
+        from a left join b using (host) left join c2 using (host)
+    """
+
+
 def x04_page_assembly_md(spark: SparkSession, sf: str) -> DataFrame:
     """K3/A1 sink shape: assembled markdown per document from REAL per-page
     rows (multi-page PDFs keep their 1-indexed page numbers). The assembly
@@ -1177,7 +1273,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_top_customers": q02_top_customers,
         "q03_region_rollup": q03_region_rollup,
         "q07_order_priority": q07_order_priority,
-        "q09_props_json": q09_props_json,
         "q10_nation_revenue_rank": q10_nation_revenue_rank,
         "t06_langid_accuracy": t06_langid_accuracy,
         "a01_page_assembly": a01_page_assembly,
@@ -1198,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g01_host_links": g01_host_links,
         "g02_host_pagerank": g02_host_pagerank,
         "r01_robots_gate": r01_robots_gate,
+        "r02_sitemap_frontier": r02_sitemap_frontier,
         "t08_bpe_tokens": t08_bpe_tokens,
         "t09_repetition": t09_repetition,
         "t10_hash_sample": t10_hash_sample,
@@ -1238,8 +1334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #          dedup queries entered the window, parking q06/q08
         #          (green r1-r4) at 53-54 beside q04/q05; later the new
         #          g01/g02 webgraph queries entered, parking s04/m02
-        #          (green r4); the r01 robots gate entered, parking q11
-        #          (green r1-r4).
+        #          (green r4); the r01 robots gate and r02 sitemap
+        #          frontier entered, parking q11 and q09 (green r1-r4).
         # Parked queries' operators stay evidenced: q04 (window running
         # sum) by q10/q11's window functions, q05 (sessionize lag/gap) by
         # q11's lag, q06 (date-truncated groupBy) by q11's month rollup,
@@ -1251,6 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_queries_oracle.py::test_driver_verified_window pins
         # the intended membership.
         # positions 51-57 (outside the driver window this round):
+        "q09_props_json": q09_props_json,
         "q11_monthly_growth": q11_monthly_growth,
         "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
         "m02_image_dups": m02_image_dups,
@@ -1749,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
             group by 1
         """,
         "r01_robots_gate": _r01_sql(),
+        "r02_sitemap_frontier": _r02_sql(),
         "g01_host_links": f"""
             with raw as (
               select url, unnest(links) as href

@@ -103,13 +103,14 @@ def test_driver_verified_window():
     (driver-green in r1-r4); the new i01/i02 incremental-dedup queries
     enter early, additionally parking q06/q08 (green r1-r4); the new
     g01/g02 webgraph queries enter early, additionally parking s04/m02
-    (green r4) at 52-53; r01 (robots gate) enters, parking q11 (green
-    r1-r4, window-function evidence overlaps q10). This test fails
-    loudly if an insertion silently changes which queries the driver
-    verifies."""
+    (green r4) at 53-54; r01/r02 (robots gate, sitemap frontier) enter,
+    parking q11 and q09 (both green r1-r4; q11's window functions are
+    evidenced by q10, q09's JSON ops by t07's structured outputs). This
+    test fails loudly if an insertion silently changes which queries the
+    driver verifies."""
     names = list(entry_mod.queries().keys())
     window, parked = names[:50], names[50:]
-    assert parked == ["q11_monthly_growth",
+    assert parked == ["q09_props_json", "q11_monthly_growth",
                       "s04_cosine_dup_pairs", "m02_image_dups",
                       "q04_running_value", "q05_sessionize",
                       "q06_event_type_daily", "q08_brand_volume"], parked
@@ -117,7 +118,7 @@ def test_driver_verified_window():
                         "u01_url_canonical", "b01_host_boilerplate",
                         "i01_incremental_exact", "i02_incremental_minhash",
                         "g01_host_links", "g02_host_pagerank",
-                        "r01_robots_gate", "m01_image_features",
-                        "m03_av_features"):
+                        "r01_robots_gate", "r02_sitemap_frontier",
+                        "m01_image_features", "m03_av_features"):
         assert must_verify in window, f"{must_verify} fell out of the window"
-    assert len(names) == len(set(names)) == 57
+    assert len(names) == len(set(names)) == 58

@@ -111,3 +111,59 @@ def test_crawl_allowed_matches_reference(spark):
     # the join side is broadcast — no shuffle of the url table
     plan = crawl_allowed(df, rules)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ------------------------------------------------------------- sitemaps ----
+
+def test_sitemap_parse_formats_and_edges():
+    from docvision_spark.functions.sitemaps import (make_sitemap_xml,
+                                                    parse_sitemap)
+
+    urls = [f"https://h.ex.com/p/{i}" for i in range(4)]
+    urls.append("https://h.ex.com/a?x=1&y=2")  # entity-escaped in XML
+    for kw in ({}, {"as_gzip": True}, {"as_text": True}, {"index": True},
+               {"lastmod": "2026-01-05T00:00:00Z"}):
+        r = parse_sitemap(make_sitemap_xml(urls, **kw))
+        assert r["error"] is None
+        assert [l for l, _ in r["entries"]] == urls, kw
+        if kw.get("index"):
+            assert r["kind"] == "sitemapindex"
+        if kw.get("lastmod"):
+            assert all(lm == "2026-01-05T00:00:00Z"
+                       for _, lm in r["entries"])
+    # CDATA-wrapped loc + namespace prefix + comments
+    xml = (b'<?xml version="1.0"?><!-- c --><sm:urlset xmlns:sm="x">'
+           b"<sm:url><sm:loc><![CDATA[https://h.ex.com/cdata]]></sm:loc>"
+           b"</sm:url></sm:urlset>")
+    r = parse_sitemap(xml)
+    assert r["entries"] == [("https://h.ex.com/cdata", None)]
+    # failures are typed, never raised
+    assert parse_sitemap(b"junk bytes")["error"]
+    assert parse_sitemap(b"<html><body>x</body></html>")["error"]
+    assert parse_sitemap(b"\x1f\x8bnot-gzip")["error"].startswith("gzip")
+    # truncated final entry still yields its loc
+    r = parse_sitemap(b"<urlset><url><loc>https://h.ex.com/cut</loc>")
+    assert r["entries"] == [("https://h.ex.com/cut", None)]
+
+
+@pytest.mark.spark
+def test_sitemap_entries_stage(spark):
+    from docvision_spark.functions.sitemaps import (make_sitemap_xml,
+                                                    sitemap_entries)
+
+    rows = [
+        ("a.ex.com", make_sitemap_xml(["https://a.ex.com/1",
+                                       "https://a.ex.com/2"])),
+        ("b.ex.com", make_sitemap_xml(["https://b.ex.com/1"],
+                                      as_gzip=True)),
+        ("c.ex.com", b"total garbage"),
+    ]
+    df = spark.createDataFrame(rows, "host string, payload binary")
+    got = sitemap_entries(df).collect()
+    ok = [r for r in got if r["error"] is None]
+    bad = [r for r in got if r["error"] is not None]
+    assert {(r["host"], r["loc"]) for r in ok} == {
+        ("a.ex.com", "https://a.ex.com/1"),
+        ("a.ex.com", "https://a.ex.com/2"),
+        ("b.ex.com", "https://b.ex.com/1")}
+    assert len(bad) == 1 and bad[0]["host"] == "c.ex.com"
