@@ -244,3 +244,67 @@ def fingerprint_md5(col: Column) -> Column:
     """Exact-dup fingerprint: md5 of normalized text (md5 exists in both
     Spark and DuckDB with identical output — crc32 does not)."""
     return F.md5(normalized(col))
+
+
+def doc_pack_bins(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", budget: int = 2048,
+                  partitions: int | None = None) -> DataFrame:
+    """GPT-style sequence packing at the document level: documents are
+    concatenated into one global token stream in id order and split every
+    `budget` tokens; each document is assigned the bin where it STARTS.
+    Returns (id, n_tokens, bin).
+
+    Scale shape — a DISTRIBUTED prefix sum, because the naive
+    `sum().over(Window.orderBy(id))` collapses 10^12 rows onto ONE
+    partition: (1) range-partition by id + sort within partitions,
+    localCheckpointed so both passes see the identical layout;
+    (2) per-partition token totals to the driver (one long per
+    partition); (3) exclusive prefix offsets broadcast back;
+    (4) per-partition cumulative sum + offset (order carried across
+    Arrow batches) -> absolute stream offset -> bin = offset div budget.
+    The result is a pure function of the global id order — partition
+    boundaries cannot change it."""
+    from typing import Iterator as _It
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    d = (df.select(F.col(id_col).alias("_id"),
+                   token_count(F.col(text_col)).alias("_n"))
+           .repartitionByRange(n_parts, "_id")
+           .sortWithinPartitions("_id")
+           .localCheckpoint())
+
+    def totals(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        t = 0
+        for pdf in it:
+            t += int(pdf["_n"].sum())
+        yield pd.DataFrame([{"pid": pid, "total": t}])
+
+    part_totals = {r["pid"]: r["total"]
+                   for r in d.mapInPandas(totals,
+                                          "pid int, total long").collect()}
+    acc = 0
+    offsets = {}
+    for pid in range(max(part_totals, default=-1) + 1):
+        offsets[pid] = acc
+        acc += part_totals.get(pid, 0)
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    def assign(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        start = b_off.value.get(pid, 0)
+        for pdf in it:
+            before = start + pdf["_n"].cumsum() - pdf["_n"]
+            yield pd.DataFrame({
+                "_id": pdf["_id"], "n_tokens": pdf["_n"],
+                "bin": (before // budget).astype("int64")})
+            start += int(pdf["_n"].sum())
+
+    out = d.mapInPandas(assign, f"_id {df.schema[id_col].dataType.simpleString()}, "
+                                "n_tokens long, bin long")
+    return out.withColumnRenamed("_id", id_col)

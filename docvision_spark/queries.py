@@ -467,6 +467,23 @@ def c01_chunks(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "chunk_no", F.length("chunk").alias("n_chars"))
 
 
+def c03_sequence_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-style sequence packing rollup: documents concatenate into one
+    global token stream in doc_id order and split every 2048 tokens; per
+    bin: docs starting there, their token mass, and the id range. The
+    operator is a DISTRIBUTED prefix sum (functions/text.doc_pack_bins —
+    range partition + per-partition totals + broadcast offsets), not a
+    single-partition window; the oracle re-derives it with a SQL window
+    sum, which is exact at oracle scale."""
+    d = load(spark, sf, "documents")
+    bins = text.doc_pack_bins(d, "doc_id", "text", budget=2048)
+    return (bins.groupBy("bin")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.sum("n_tokens").cast("long").alias("n_tokens"),
+                     F.min("doc_id").alias("first_doc"),
+                     F.max("doc_id").alias("last_doc")))
+
+
 def q12_token_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     """Exact token-count quantiles per lang (corpus length profile). Uses
     EXACT percentile (not approx sketches) so the DuckDB quantile_cont twin
@@ -1273,7 +1290,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q02_top_customers": q02_top_customers,
         "q03_region_rollup": q03_region_rollup,
         "q07_order_priority": q07_order_priority,
-        "q10_nation_revenue_rank": q10_nation_revenue_rank,
         "t06_langid_accuracy": t06_langid_accuracy,
         "a01_page_assembly": a01_page_assembly,
         "p01_empty_filter": p01_empty_filter,
@@ -1302,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_keywords_top3": t12_keywords_top3,
         "q12_token_quantiles": q12_token_quantiles,
         "c02_contamination": c02_contamination,
+        "c03_sequence_packing": c03_sequence_packing,
         "d01_minhash_pairs": d01_minhash_pairs,
         "d02_simhash_pairs": d02_simhash_pairs,
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
@@ -1334,19 +1351,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #          dedup queries entered the window, parking q06/q08
         #          (green r1-r4) at 53-54 beside q04/q05; later the new
         #          g01/g02 webgraph queries entered, parking s04/m02
-        #          (green r4); the r01 robots gate and r02 sitemap
-        #          frontier entered, parking q11 and q09 (green r1-r4).
+        #          (green r4); the r01 robots gate, r02 sitemap
+        #          frontier and c03 sequence packing entered, parking
+        #          q09/q10/q11 (green r1-r4).
         # Parked queries' operators stay evidenced: q04 (window running
         # sum) by q10/q11's window functions, q05 (sessionize lag/gap) by
         # q11's lag, q06 (date-truncated groupBy) by q11's month rollup,
-        # q08 (dim-join + groupBy) by q02/q03/q10, q11 (lag/window
-        # growth) by q10's rank window + q04/q05's parked twins-by-proxy,
-        # s04 (all-pairs cosine)
+        # q08 (dim-join + groupBy) by q02/q03's dim joins, q09 (JSON
+        # ops) by t07's structured outputs, q10/q11 (rank/lag windows)
+        # by t12's window top-k, s04 (all-pairs cosine)
         # by s01/s06's verified candidate cosines, m02's banded-hamming
         # join by d02's identical band machinery.
         # tests/test_queries_oracle.py::test_driver_verified_window pins
         # the intended membership.
         # positions 51-57 (outside the driver window this round):
+        "q10_nation_revenue_rank": q10_nation_revenue_rank,
         "q09_props_json": q09_props_json,
         "q11_monthly_growth": q11_monthly_growth,
         "s04_cosine_dup_pairs": s04_cosine_dup_pairs,
@@ -1847,6 +1866,25 @@ def oracle_sql() -> dict[str, str]:
         """,
         "r01_robots_gate": _r01_sql(),
         "r02_sitemap_frontier": _r02_sql(),
+        "c03_sequence_packing": f"""
+            with t as (
+              select doc_id, len({_tokens_sql("text")})::bigint as n
+              from documents
+            ),
+            o as (
+              select doc_id, n,
+                     coalesce(sum(n) over (order by doc_id
+                       rows between unbounded preceding and 1 preceding),
+                       0) as before
+              from t
+            )
+            select (before // 2048)::bigint as bin,
+                   count(*) as n_docs,
+                   sum(n)::bigint as n_tokens,
+                   min(doc_id) as first_doc,
+                   max(doc_id) as last_doc
+            from o group by 1
+        """,
         "g01_host_links": f"""
             with raw as (
               select url, unnest(links) as href

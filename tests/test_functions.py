@@ -725,3 +725,32 @@ def test_media_features_ico_svg_apng(spark):
     r = out[5]
     assert r["format"] == "svg" and r["width"] is None
     assert r["media_text"] == "vec words"
+
+
+@pytest.mark.spark
+def test_doc_pack_bins_partition_invariant(spark):
+    """Sequence packing is a pure function of the global id order: the
+    distributed prefix sum must produce identical bins under different
+    partition counts, bins carry exactly `budget` starting-offset tokens,
+    and empty docs ride along in the bin where they start."""
+    from docvision_spark.functions.text import doc_pack_bins
+
+    rows = [(i, ("tok " * (1 + (i * 7) % 50)).strip()) for i in range(200)]
+    rows[13] = (13, "")
+    rows[77] = (77, "   ")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    base = None
+    for parts in (1, 3, 16):
+        got = {r["doc_id"]: (r["n_tokens"], r["bin"])
+               for r in doc_pack_bins(df, budget=64,
+                                      partitions=parts).collect()}
+        if base is None:
+            base = got
+        assert got == base, f"partitions={parts} changed the packing"
+    # reference: python cumsum in id order
+    cum = 0
+    for i in range(200):
+        n = len(rows[i][1].split())
+        assert base[i] == (n, cum // 64), i
+        cum += n
+    assert len(base) == 200
