@@ -308,3 +308,81 @@ def doc_pack_bins(df: DataFrame, id_col: str = "doc_id",
     out = d.mapInPandas(assign, f"_id {df.schema[id_col].dataType.simpleString()}, "
                                 "n_tokens long, bin long")
     return out.withColumnRenamed("_id", id_col)
+
+
+def train_bigram_lm(df: DataFrame, text_col: str = "text",
+                    top_k: int = 50000) -> dict:
+    """Corpus-trained bigram language model (the CCNet quality filter's
+    shape: a small fixed-size LM scores every document; CommonCrawl-scale
+    pipelines rank/bucket docs by LM perplexity before training).
+
+    Training is two partial-aggregated counts — bigrams (with a <s> BOS
+    token) and unigram context totals — pruned to the top_k most frequent
+    entries with a DETERMINISTIC tiebreak (count desc, key asc), then
+    collected: the model is configuration-sized by construction, exactly
+    what gets broadcast at 100 TB. Returns {"bigrams": {(w1, w2): c},
+    "context": {w1: c}, "vocab": V}."""
+    toks = tokens(F.col(text_col))
+    grams = (df.select(F.explode(
+                F.zip_with(
+                    F.concat(F.array(F.lit("<s>")), toks),
+                    F.concat(toks, F.array(F.lit("</s>"))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+             .alias("g"))
+             .select("g.w1", "g.w2"))
+    big = (grams.groupBy("w1", "w2").count()
+                .orderBy(F.desc("count"), "w1", "w2").limit(top_k).collect())
+    ctx = (grams.groupBy("w1").count()
+                .orderBy(F.desc("count"), "w1").limit(top_k).collect())
+    vocab = grams.select("w2").distinct().count()
+    return {"bigrams": {(r["w1"], r["w2"]): r["count"] for r in big},
+            "context": {r["w1"]: r["count"] for r in ctx},
+            "vocab": int(vocab) + 1}
+
+
+def lm_score(df: DataFrame, lm: dict, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Per-document LM negative-log-likelihood in INTEGER MILLIBITS:
+    each token contributes round(-1000 * log2((c(w1,w2)+1)/(c(w1)+V)))
+    (add-one smoothing; unseen contexts fall back to c=0), summed as
+    int64 — so the total is exact and independent of partitioning /
+    summation order, unlike a float sum. Output: (id, n_tokens,
+    total_millibits, mb_per_token = total div max(n,1)).
+
+    Scale shape: the model is a broadcast dict; tokenization stays in
+    the JVM (the SAME tokens() expression training used) and only the
+    dict lookups + log2 run in the Arrow-batched python stage."""
+    import math
+    from typing import Iterator as _It
+
+    import pandas as pd
+
+    spark = df.sparkSession
+    b = spark.sparkContext.broadcast(
+        {"b": lm["bigrams"], "c": lm["context"], "v": lm["vocab"]})
+    src = df.select(F.col(id_col).alias("_id"),
+                    tokens(F.col(text_col)).alias("_toks"))
+
+    def fn(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        bg, cx, v = b.value["b"], b.value["c"], b.value["v"]
+        log2 = math.log2
+        for pdf in it:
+            out = []
+            for _id, toks in zip(pdf["_id"], pdf["_toks"]):
+                seq = ["<s>", *toks, "</s>"]
+                total = 0
+                for w1, w2 in zip(seq, seq[1:]):
+                    cb = bg.get((w1, w2), 0)
+                    cc = cx.get(w1, 0)
+                    total += round(-1000.0 * log2((cb + 1) / (cc + v)))
+                n = len(toks)
+                out.append({"_id": _id, "n_tokens": n,
+                            "total_millibits": total,
+                            "mb_per_token": total // max(n + 1, 1)})
+            yield pd.DataFrame(out, dtype=object, columns=[
+                "_id", "n_tokens", "total_millibits", "mb_per_token"])
+
+    dtype = df.schema[id_col].dataType.simpleString()
+    return (src.mapInPandas(fn, f"_id {dtype}, n_tokens int, "
+                                "total_millibits long, mb_per_token long")
+               .withColumnRenamed("_id", id_col))

@@ -382,6 +382,20 @@ def t04_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     return d.select("doc_id", text.fingerprint_md5(F.col("text")).alias("fp"))
 
 
+def t13_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style LM quality score: a bigram LM trained on the corpus
+    itself (two partial-agg counts pruned to a fixed top-k with
+    deterministic tiebreaks -> broadcast) scores every document in
+    INTEGER MILLIBITS per token — int64 sums are exact and partition-
+    order-independent, unlike float log-prob sums, which is what lets
+    the rerun hash-match the materialized twin. Real pipelines bucket
+    docs on exactly this number (head/middle/tail quality tiers)."""
+    d = load(spark, sf, "documents")
+    lm = text.train_bigram_lm(d, "text", top_k=50000)
+    return _twin(spark, sf, "t13_lm_quality",
+                 text.lm_score(d, lm, "doc_id", "text"))
+
+
 def t08_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """LLM-token budgeting: BPE-ish subword count per doc + the
     tokens-per-whitespace-word expansion ratio (both engines compute the
@@ -1297,7 +1311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t01_token_stats": t01_token_stats,
         "t02_quality": t02_quality,
         "t03_langid": t03_langid,
-        "t04_fingerprint": t04_fingerprint,
         "t05_exact_dedup": t05_exact_dedup,
         # u01/b01/i01/i02 sit early: the driver verifies only the first 50
         # registered queries, and u01 (then 51st) missed its round-2 row;
@@ -1319,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q12_token_quantiles": q12_token_quantiles,
         "c02_contamination": c02_contamination,
         "c03_sequence_packing": c03_sequence_packing,
+        "t13_lm_quality": t13_lm_quality,
         "d01_minhash_pairs": d01_minhash_pairs,
         "d02_simhash_pairs": d02_simhash_pairs,
         "d03_ngram_jaccard_pairs": d03_ngram_jaccard_pairs,
@@ -1352,19 +1366,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #          (green r1-r4) at 53-54 beside q04/q05; later the new
         #          g01/g02 webgraph queries entered, parking s04/m02
         #          (green r4); the r01 robots gate, r02 sitemap
-        #          frontier and c03 sequence packing entered, parking
-        #          q09/q10/q11 (green r1-r4).
+        #          frontier, c03 sequence packing and t13 LM quality
+        #          entered, parking q09/q10/q11/t04 (green r1-r4).
         # Parked queries' operators stay evidenced: q04 (window running
         # sum) by q10/q11's window functions, q05 (sessionize lag/gap) by
         # q11's lag, q06 (date-truncated groupBy) by q11's month rollup,
         # q08 (dim-join + groupBy) by q02/q03's dim joins, q09 (JSON
         # ops) by t07's structured outputs, q10/q11 (rank/lag windows)
-        # by t12's window top-k, s04 (all-pairs cosine)
+        # by t12's window top-k, t04 (md5 fingerprint) by t05's
+        # fingerprint-keyed exact dedup, s04 (all-pairs cosine)
         # by s01/s06's verified candidate cosines, m02's banded-hamming
         # join by d02's identical band machinery.
         # tests/test_queries_oracle.py::test_driver_verified_window pins
         # the intended membership.
         # positions 51-57 (outside the driver window this round):
+        "t04_fingerprint": t04_fingerprint,
         "q10_nation_revenue_rank": q10_nation_revenue_rank,
         "q09_props_json": q09_props_json,
         "q11_monthly_growth": q11_monthly_growth,
@@ -2082,6 +2098,7 @@ def oracle_sql() -> dict[str, str]:
             select id_a, id_b, n_shared::int as n_shared
             from p where n_shared >= 3
         """,
+        "t13_lm_quality": _twin_sql("t13_lm_quality"),
         "s03_lsh_topk": _twin_sql("s03_lsh_topk"),
         "s05_ivf_topk": _twin_sql("s05_ivf_topk"),
         "s06_emb_dup_lsh": _twin_sql("s06_emb_dup_lsh"),

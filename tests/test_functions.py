@@ -754,3 +754,35 @@ def test_doc_pack_bins_partition_invariant(spark):
         assert base[i] == (n, cum // 64), i
         cum += n
     assert len(base) == 200
+
+
+@pytest.mark.spark
+def test_bigram_lm_quality_scoring(spark):
+    """CCNet-style LM scoring: training counts are deterministic under
+    re-partitioning, integer millibit totals match a python reference,
+    fluent (in-distribution) docs score fewer millibits/token than junk,
+    and unseen contexts fall back to add-one smoothing."""
+    import math
+
+    from docvision_spark.functions.text import lm_score, train_bigram_lm
+
+    docs = [(i, "the quick brown fox jumps over the lazy dog") for i in range(8)]
+    docs += [(100, "the quick brown fox"), (101, "xq zzv qqa unseen junk")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    lm = train_bigram_lm(df, top_k=1000)
+    lm2 = train_bigram_lm(df.repartition(7), top_k=1000)
+    assert lm == lm2, "training is partition-dependent"
+    got = {r["doc_id"]: r for r in lm_score(df, lm).collect()}
+    assert got[100]["mb_per_token"] < got[101]["mb_per_token"]
+    # python reference for doc 100
+    bg, cx, v = lm["bigrams"], lm["context"], lm["vocab"]
+    seq = ["<s>", "the", "quick", "brown", "fox", "</s>"]
+    want = sum(round(-1000 * math.log2((bg.get((a, b), 0) + 1)
+                                       / (cx.get(a, 0) + v)))
+               for a, b in zip(seq, seq[1:]))
+    assert got[100]["total_millibits"] == want
+    assert got[100]["n_tokens"] == 4
+    # scoring is partition-invariant (int sums, per-doc sequential)
+    got2 = {r["doc_id"]: r["total_millibits"]
+            for r in lm_score(df.repartition(5), lm).collect()}
+    assert got2 == {k: r["total_millibits"] for k, r in got.items()}

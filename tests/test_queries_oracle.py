@@ -103,15 +103,17 @@ def test_driver_verified_window():
     (driver-green in r1-r4); the new i01/i02 incremental-dedup queries
     enter early, additionally parking q06/q08 (green r1-r4); the new
     g01/g02 webgraph queries enter early, additionally parking s04/m02
-    (green r4); r01/r02/c03 (robots gate, sitemap frontier, sequence
-    packing) enter, parking q09/q10/q11 (all green r1-r4; their JSON /
-    rank-window / lag-window operators stay evidenced in-window by
-    t07's structured outputs and t12's window top-k). This test fails
-    loudly if an insertion silently changes which queries the driver
-    verifies."""
+    (green r4); r01/r02/c03/t13 (robots gate, sitemap frontier, sequence
+    packing, LM quality) enter, parking q09/q10/q11/t04 (all green
+    r1-r4; their JSON / rank-window / lag-window / md5-fingerprint
+    operators stay evidenced in-window by t07's structured outputs,
+    t12's window top-k, and t05's fingerprint-keyed dedup). This test
+    fails loudly if an insertion silently changes which queries the
+    driver verifies."""
     names = list(entry_mod.queries().keys())
     window, parked = names[:50], names[50:]
-    assert parked == ["q10_nation_revenue_rank", "q09_props_json",
+    assert parked == ["t04_fingerprint",
+                      "q10_nation_revenue_rank", "q09_props_json",
                       "q11_monthly_growth",
                       "s04_cosine_dup_pairs", "m02_image_dups",
                       "q04_running_value", "q05_sessionize",
@@ -121,7 +123,7 @@ def test_driver_verified_window():
                         "i01_incremental_exact", "i02_incremental_minhash",
                         "g01_host_links", "g02_host_pagerank",
                         "r01_robots_gate", "r02_sitemap_frontier",
-                        "c03_sequence_packing",
+                        "c03_sequence_packing", "t13_lm_quality",
                         "m01_image_features", "m03_av_features"):
         assert must_verify in window, f"{must_verify} fell out of the window"
-    assert len(names) == len(set(names)) == 59
+    assert len(names) == len(set(names)) == 60
