@@ -161,3 +161,56 @@ def test_expression_only_queries_stay_jvm_side(spark, name):
     plan = plan_of(q.queries()[name](spark, "/root/testdata/sf0.001"))
     assert "EvalPython" not in plan, f"{name} fell off codegen:\n{plan[:800]}"
     assert "MapInPandas" not in plan or name == "u01_url_canonical", name
+
+
+@pytest.mark.spark
+def test_host_links_scan_pruned_and_pushed(spark):
+    """g01's web-graph rollup must stay the 100 TB shape: a 3-column
+    pruned parquet scan with the error/links filters PUSHED, expression-
+    only href resolution (no python), and a map-side partial aggregate
+    before the shuffle."""
+    from docvision_spark import queries as q
+
+    plan = plan_of(q.queries()["g01_host_links"](spark,
+                                                 "/root/testdata/sf0.001"))
+    assert "EvalPython" not in plan
+    scan = plan.split("Scan parquet", 1)[1]
+    rs = scan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "url" in rs and "links" in rs and "error" in rs
+    assert "markdown" not in rs and "text" not in rs, rs
+    assert "IsNull(error)" in scan
+    assert "partial_count" in plan
+
+
+@pytest.mark.spark
+def test_sequence_packing_has_no_global_window(spark):
+    """c03 must never regress to sum().over(Window.orderBy(id)) — that
+    plan collapses the whole table onto one partition. The distributed
+    prefix sum shows up as a mapInPandas over a checkpointed range
+    partitioning, with NO Window node anywhere."""
+    from docvision_spark import queries as q
+
+    plan = plan_of(q.queries()["c03_sequence_packing"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Window" not in plan, plan[:800]
+    assert "MapInPandas" in plan
+
+
+@pytest.mark.spark
+def test_robots_gate_no_url_side_shuffle(spark):
+    """r01's permission join must keep the url side shuffle-free until its
+    own host rollup: exactly ONE Exchange (the final groupBy), with the
+    rule table arriving via broadcast."""
+    from docvision_spark import queries as q
+
+    plan = plan_of(q.queries()["r01_robots_gate"](spark,
+                                                  "/root/testdata/sf0.001"))
+    tree = plan.split("== Physical Plan ==", 1)[1].split("\n\n")[0]
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the url-side branch (the ':-' lines of the join) must be
+    # exchange-free; shuffles on the KB-sized rules side are fine
+    url_branch = [ln for ln in tree.splitlines() if ln.lstrip().startswith(":")]
+    assert url_branch and not any("Exchange" in ln for ln in url_branch), tree
+    # exactly one post-join shuffle: the final host rollup
+    post_join = tree.split("BroadcastHashJoin", 1)[0]
+    assert post_join.count("Exchange") == 1, tree
