@@ -340,7 +340,7 @@ def train_bigram_lm(df: DataFrame, text_col: str = "text",
             "vocab": int(vocab) + 1}
 
 
-def lm_score(df: DataFrame, lm: dict, id_col: str = "doc_id",
+def lm_score(df: DataFrame, lm: dict,
              text_col: str = "text") -> DataFrame:
     """Per-document LM negative-log-likelihood in INTEGER MILLIBITS:
     each token contributes round(-1000 * log2((c(w1,w2)+1)/(c(w1)+V)))
@@ -350,8 +350,10 @@ def lm_score(df: DataFrame, lm: dict, id_col: str = "doc_id",
     total_millibits, mb_per_token = total div max(n,1)).
 
     Scale shape: the model is a broadcast dict; tokenization stays in
-    the JVM (the SAME tokens() expression training used) and only the
-    dict lookups + log2 run in the Arrow-batched python stage."""
+    the JVM (the SAME tokens() expression training used); only the dict
+    lookups + log2 run in the Arrow-batched python stage; and every
+    OTHER input column passes THROUGH that stage, so callers filter on
+    the score without a join-back shuffle of the big table."""
     import math
     from typing import Iterator as _It
 
@@ -360,15 +362,15 @@ def lm_score(df: DataFrame, lm: dict, id_col: str = "doc_id",
     spark = df.sparkSession
     b = spark.sparkContext.broadcast(
         {"b": lm["bigrams"], "c": lm["context"], "v": lm["vocab"]})
-    src = df.select(F.col(id_col).alias("_id"),
-                    tokens(F.col(text_col)).alias("_toks"))
+    passthrough = [c for c in df.columns]
+    src = df.withColumn("_toks", tokens(F.col(text_col)))
 
     def fn(it: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         bg, cx, v = b.value["b"], b.value["c"], b.value["v"]
         log2 = math.log2
         for pdf in it:
-            out = []
-            for _id, toks in zip(pdf["_id"], pdf["_toks"]):
+            ns, totals, per = [], [], []
+            for toks in pdf["_toks"]:
                 seq = ["<s>", *toks, "</s>"]
                 total = 0
                 for w1, w2 in zip(seq, seq[1:]):
@@ -376,13 +378,19 @@ def lm_score(df: DataFrame, lm: dict, id_col: str = "doc_id",
                     cc = cx.get(w1, 0)
                     total += round(-1000.0 * log2((cb + 1) / (cc + v)))
                 n = len(toks)
-                out.append({"_id": _id, "n_tokens": n,
-                            "total_millibits": total,
-                            "mb_per_token": total // max(n + 1, 1)})
-            yield pd.DataFrame(out, dtype=object, columns=[
-                "_id", "n_tokens", "total_millibits", "mb_per_token"])
+                ns.append(n)
+                totals.append(total)
+                per.append(total // max(n + 1, 1))
+            out = pdf[passthrough].copy()
+            out["n_tokens"] = pd.Series(ns, index=pdf.index, dtype=object)
+            out["total_millibits"] = pd.Series(totals, index=pdf.index,
+                                               dtype=object)
+            out["mb_per_token"] = pd.Series(per, index=pdf.index,
+                                            dtype=object)
+            yield out
 
-    dtype = df.schema[id_col].dataType.simpleString()
-    return (src.mapInPandas(fn, f"_id {dtype}, n_tokens int, "
-                                "total_millibits long, mb_per_token long")
-               .withColumnRenamed("_id", id_col))
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in df.schema.fields]
+        + ["n_tokens int", "total_millibits long", "mb_per_token long"])
+    return src.mapInPandas(fn, out_schema)

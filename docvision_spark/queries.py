@@ -393,7 +393,9 @@ def t13_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     d = load(spark, sf, "documents")
     lm = text.train_bigram_lm(d, "text", top_k=50000)
     return _twin(spark, sf, "t13_lm_quality",
-                 text.lm_score(d, lm, "doc_id", "text"))
+                 text.lm_score(d, lm, "text").select(
+                     "doc_id", "n_tokens", "total_millibits",
+                     "mb_per_token"))
 
 
 def t08_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:

@@ -62,6 +62,15 @@ def main() -> None:
                          "dups. Hosts absent from the table are allowed.")
     ap.add_argument("--robots-agent", default="docvision-bot",
                     help="user-agent token for --robots group selection")
+    ap.add_argument("--lm-max-millibits", type=int, default=None,
+                    metavar="MB",
+                    help="CCNet-style LM quality gate: drop docs whose "
+                         "corpus-trained bigram-LM score exceeds MB "
+                         "millibits/token (integer negative log2 "
+                         "likelihood; ~10000 = 10 bits/token). Off by "
+                         "default.")
+    ap.add_argument("--lm-top-k", type=int, default=50000,
+                    help="LM size: top-k bigram/context counts kept")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -154,6 +163,23 @@ def main() -> None:
                  .select("url", "id", "text", "markdown", "page_count",
                          "lang", "quality_score", "n_stripped_lines").cache()
     report["quality_pass"] = kept.count()
+
+    # 3b. LM quality gate (opt-in, CCNet-style): a bigram LM trained on
+    #     the quality-passed corpus itself scores every doc in integer
+    #     millibits/token; docs above the cutoff (out-of-distribution
+    #     gibberish, boilerplate soup, wrong-language residue) drop.
+    #     The model is top-k pruned -> broadcast; the url side pays one
+    #     Arrow-batched lookup pass, no shuffle (functions/text.lm_score).
+    if args.lm_max_millibits is not None:
+        from docvision_spark.functions.text import (lm_score,
+                                                    train_bigram_lm)
+
+        lm = train_bigram_lm(kept, "text", top_k=args.lm_top_k)
+        kept = (lm_score(kept, lm, text_col="text")
+                .filter(F.col("mb_per_token") <= args.lm_max_millibits)
+                .drop("n_tokens", "total_millibits", "mb_per_token")
+                .cache())
+        report["after_lm_quality"] = kept.count()
     report["boiler_lines_stripped"] = (
         kept.agg(F.sum("n_stripped_lines")).first()[0] or 0)
 

@@ -382,3 +382,63 @@ def test_curate_robots_txt_gate(tmp_path):
     assert "https://a.ex.com/private/ok/1" in urls
     assert "https://a.ex.com/doc.pdfx" in urls
     assert "https://b.ex.com/private/1" in urls
+
+
+@pytest.mark.spark
+@pytest.mark.slow
+def test_curate_lm_quality_gate(tmp_path):
+    """--lm-max-millibits drops out-of-distribution docs: a corpus of
+    similar fluent pages plus one gibberish page — the LM (trained on the
+    corpus itself) scores the gibberish far above the fluent mass."""
+    import datetime as dt
+    import random as _r
+
+    words = ("market growth report annual revenue system analysis data "
+             "model energy policy research climate software industry "
+             "product service development technology council").split()
+
+    def page(seed: int, vocab) -> bytes:
+        rng = _r.Random(seed)
+        body = " ".join(rng.choice(vocab) for _ in range(150)) + "."
+        return (f"<html><body><main><p>{body}</p></main></body></html>"
+                ).encode()
+
+    gib_vocab = [f"zx{i}qv" for i in range(400)]  # singleton-ish tokens
+    rows_url, rows_html = [], []
+    for i in range(30):
+        rows_url.append(f"https://a.ex.com/doc/{i}")
+        rows_html.append(page(i, words))
+    rows_url.append("https://a.ex.com/gibberish")
+    rows_html.append(page(999, gib_vocab))
+
+    schema = pa.schema([("url", pa.string()),
+                        ("warc_ts", pa.timestamp("us", tz="UTC")),
+                        ("html", pa.binary()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    in_dir = tmp_path / "pages"
+    in_dir.mkdir()
+    ts = dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc)
+    pq.write_table(pa.Table.from_pydict({
+        "url": rows_url, "warc_ts": [ts] * len(rows_url),
+        "html": rows_html, "text": [None] * len(rows_url),
+        "lang": ["en"] * len(rows_url)}, schema=schema),
+        str(in_dir / "part-0.parquet"))
+
+    out_dir = str(tmp_path / "curated")
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "jobs", "curate.py"),
+         "--input", str(in_dir), "--output", out_dir,
+         "--cores", "4", "--min-quality", "0", "--jaccard", "0.95",
+         "--lm-max-millibits", "5800"],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    report = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert report["after_lm_quality"] == report["quality_pass"] - 1
+
+    import duckdb
+    urls = {u for (u,) in duckdb.connect().execute(
+        f"select url from read_parquet('{out_dir}/data/*.parquet')"
+    ).fetchall()}
+    assert "https://a.ex.com/gibberish" not in urls
+    assert "https://a.ex.com/doc/0" in urls
