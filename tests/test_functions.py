@@ -786,3 +786,28 @@ def test_bigram_lm_quality_scoring(spark):
     got2 = {r["doc_id"]: r["total_millibits"]
             for r in lm_score(df.repartition(5), lm).collect()}
     assert got2 == {k: r["total_millibits"] for k, r in got.items()}
+
+
+@pytest.mark.spark
+def test_doc_pack_bins_carries_offset_across_arrow_batches(spark):
+    """The per-partition cumulative sum must carry across Arrow batch
+    boundaries: with maxRecordsPerBatch=16 a 300-doc partition spans ~19
+    batches, and any batch-reset bug shifts every later bin."""
+    from docvision_spark.functions.text import doc_pack_bins
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, "10000")
+    spark.conf.set(key, "16")
+    try:
+        rows = [(i, ("w " * (1 + i % 9)).strip()) for i in range(300)]
+        got = {r["doc_id"]: r["bin"]
+               for r in doc_pack_bins(
+                   spark.createDataFrame(rows, "doc_id long, text string"),
+                   budget=32, partitions=2).collect()}
+    finally:
+        spark.conf.set(key, old)
+    cum = 0
+    for i in range(300):
+        n = 1 + i % 9
+        assert got[i] == cum // 32, i
+        cum += n
