@@ -13,4 +13,4 @@ pages table — no per-row Python, resumable snapshots, per-partition lineage.
 __version__ = "0.3.1"
 
 # bump on any kernel-output-visible change (goldens must be regenerated)
-EXTRACTOR_VERSION = "docvision-spark-kernel/0.11.0"  # 0.11: out-link capture (web-graph edges); 0.10: RSS/Atom feed extraction
+EXTRACTOR_VERSION = "docvision-spark-kernel/0.11.1"  # 0.11.1: feed capture-leak/title-selfclose + href attr-boundary fixes; 0.11: out-link capture

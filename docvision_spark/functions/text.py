@@ -347,7 +347,9 @@ def lm_score(df: DataFrame, lm: dict,
     (add-one smoothing; unseen contexts fall back to c=0), summed as
     int64 — so the total is exact and independent of partitioning /
     summation order, unlike a float sum. Output: (id, n_tokens,
-    total_millibits, mb_per_token = total div max(n,1)).
+    total_millibits, mb_per_token = total div (n+1) — the n+1 is the
+    number of TRANSITIONS <s>->w1..wn-></s>, so the per-token number is a
+    true per-transition mean and a 1-token doc is not half-counted).
 
     Scale shape: the model is a broadcast dict; tokenization stays in
     the JVM (the SAME tokens() expression training used); only the dict
@@ -375,7 +377,12 @@ def lm_score(df: DataFrame, lm: dict,
                 total = 0
                 for w1, w2 in zip(seq, seq[1:]):
                     cb = bg.get((w1, w2), 0)
-                    cc = cx.get(w1, 0)
+                    # the bigram and context tables are top-k pruned
+                    # INDEPENDENTLY, so a surviving bigram can have a
+                    # pruned (zero) context — clamp the denominator so
+                    # p <= (cb+1)/(cb+V) < 1 and no transition can emit
+                    # NEGATIVE millibits
+                    cc = max(cx.get(w1, 0), cb)
                     total += round(-1000.0 * log2((cb + 1) / (cc + v)))
                 n = len(toks)
                 ns.append(n)

@@ -93,8 +93,11 @@ class _Open:
 # here (entity-decoded, not resolved) — resolution against the page url is
 # a JVM-side expression at the Spark layer (functions/urls.resolve_href),
 # where it runs inside whole-stage codegen instead of the Python hot path
-_HREF_RE = re.compile(r"""href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
-                      re.IGNORECASE)
+_HREF_RE = re.compile(
+    # the attribute-name boundary matters: without it, data-href= (lazy
+    # loaders) or ng-href= would be captured as the link
+    r"""(?:^|[\s"'])href\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""",
+    re.IGNORECASE)
 # non-navigational schemes / fragments: not edges of the web graph
 _NON_LINK = ("#", "javascript:", "mailto:", "tel:", "data:", "about:")
 MAX_LINKS = 2048  # per-document out-link cap (scale guard, like MAX_DOC_BYTES)

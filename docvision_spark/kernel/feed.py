@@ -173,6 +173,17 @@ def feed_blocks(s: str) -> list[Block]:
                     cap[4] = True  # child end tag inside the capture
             for i in range(len(stack) - 1, -1, -1):
                 if _local(stack[i]) == name:
+                    if cap is not None and i <= cap[1]:
+                        # error recovery: the pop removes the CAPTURED
+                        # element itself (unclosed void child pushed a
+                        # phantom depth, so the exact-depth check above
+                        # missed) — complete the capture here rather
+                        # than leak it into the next item
+                        if in_item():
+                            item_fields.setdefault(
+                                cap[0], (s[cap[2]:tag_start], cap[3],
+                                         cap[4]))
+                        cap = None
                     closing_item = any(_local(t) in _ITEM_TAGS
                                        for t in stack[i:])
                     del stack[i:]
@@ -191,9 +202,11 @@ def feed_blocks(s: str) -> list[Block]:
             if not selfclose:
                 stack.append(tag)
             continue
-        if local == "title":
-            # capture title text inline (plain, short)
-            end = s.find(f"</", pos)
+        if local == "title" and not selfclose:
+            # capture title text inline (plain, short); a self-closed
+            # <title/> (legal empty title) must NOT scan forward — the
+            # next sibling's markup is not a title
+            end = s.find("</", pos)
             body_end = end if end >= 0 else n
             body = s[pos:body_end]
             if body.startswith("<![CDATA["):

@@ -74,6 +74,7 @@ def svg_info(payload: bytes) -> dict:
     document order. Raises SvgError when the root element is not <svg>.
     """
     s, _ = decode_html(payload[:_SCAN_CAP])
+    s_low = s.lower()
     n = len(s)
     pos = 0
     width = height = None
@@ -159,7 +160,9 @@ def svg_info(payload: bytes) -> dict:
         n_elements += 1
         if local in _SKIP_TAGS and not selfclose:
             # raw-text containers: skip to the matching close tag
-            end = s.lower().find(f"</{local}", pos)
+            # (s_low precomputed once — re-lowercasing 4 MB per <style>
+            # element would be quadratic on style-heavy payloads)
+            end = s_low.find(f"</{local}", pos)
             pos = n if end < 0 else s.find(">", end) + 1
             if pos == 0:
                 pos = n

@@ -81,11 +81,17 @@ def _decode_http_body(headers: dict[str, str], body: bytes) -> bytes | None:
     coding, then gzip/deflate content coding. Returns None when the body
     declares a coding we cannot decode (br/zstd) or the framing/stream is
     corrupt — the caller skips the record."""
-    te = headers.get("transfer-encoding", "").lower()
-    if "chunked" in te:
+    te = [t.strip() for t in headers.get("transfer-encoding", "").lower()
+          .split(",") if t.strip() and t.strip() != "identity"]
+    if te == ["chunked"]:
         body = _dechunk(body)
         if body is None:
             return None
+    elif te:
+        # stacked transfer codings ('gzip, chunked') or anything else we
+        # cannot fully undo: skip — the module contract is that
+        # compressed bytes are NEVER passed through to the extractor
+        return None
     ce = headers.get("content-encoding", "").strip().lower()
     if ce in ("", "identity"):
         return body

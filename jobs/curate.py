@@ -163,6 +163,11 @@ def main() -> None:
                  .select("url", "id", "text", "markdown", "page_count",
                          "lang", "quality_score", "n_stripped_lines").cache()
     report["quality_pass"] = kept.count()
+    # boiler metric belongs to the QUALITY-PASSED set — computed before
+    # the optional LM gate reassigns `kept`, so its meaning does not
+    # depend on an unrelated flag
+    report["boiler_lines_stripped"] = (
+        kept.agg(F.sum("n_stripped_lines")).first()[0] or 0)
 
     # 3b. LM quality gate (opt-in, CCNet-style): a bigram LM trained on
     #     the quality-passed corpus itself scores every doc in integer
@@ -180,8 +185,6 @@ def main() -> None:
                 .drop("n_tokens", "total_millibits", "mb_per_token")
                 .cache())
         report["after_lm_quality"] = kept.count()
-    report["boiler_lines_stripped"] = (
-        kept.agg(F.sum("n_stripped_lines")).first()[0] or 0)
 
     # 4. exact dedup: keep the lexicographically smallest url per content
     #    hash, recomputed on the STRIPPED text (the doc id stays the sha3 of

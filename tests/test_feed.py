@@ -119,3 +119,26 @@ def test_extract_dispatch_and_mode():
     h = extract("http://e.com/", b"<html><body><p>" + b"w " * 40
                 + b"</p></body></html>")
     assert h.processing_mode == "html"
+
+
+def test_unclosed_void_tag_does_not_leak_capture():
+    """An unclosed HTML void tag (<br>) directly inside a content field
+    pushes a phantom depth; the capture must still complete at the
+    field's close tag instead of swallowing every later item."""
+    md = _md("<rss><channel><title>T</title>"
+             f"<item><title>Item1</title>"
+             f"<description>line one<br>{_LONG}</description></item>"
+             f"<item><title>Item2</title>"
+             f"<description>{_LONG}</description></item>"
+             "</channel></rss>")
+    assert "## Item1" in md and "## Item2" in md
+    assert md.count(_LONG) == 2
+
+
+def test_self_closed_empty_title_is_not_a_heading_grab():
+    """<title/> (legal empty title) must not scan forward and turn the
+    next sibling's raw markup into the item heading."""
+    md = _md(f"""<feed><title>F</title>
+      <entry><title/><id>urn:x:1</id><summary>{_LONG}</summary></entry>
+      </feed>""")
+    assert "urn:x:1" not in md and _LONG in md

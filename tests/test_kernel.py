@@ -724,3 +724,16 @@ def test_host_pagerank_semantics(spark):
     # the popularity-ordered corpus topology: the hot host strictly
     # outranks the lowest-indexed leaf host
     assert ranks["bigportal.example.com"] > ranks["press.example.biz"]
+
+
+def test_href_attribute_name_boundary():
+    """data-href / ng-href (lazy loaders) must not be captured as the
+    out-link; the real href still is."""
+    from docvision_spark.kernel.extract import extract
+
+    h = (b'<html><body><p>' + b'w ' * 40 + b'</p>'
+         b'<a data-href="https://tracker.example/t" href="/real">x</a>'
+         b'<a ng-href="/angular">y</a>'
+         b"<a href='/plain'>z</a></body></html>")
+    r = extract("https://h.example.com/", h)
+    assert r.links == ["/real", "/plain"], r.links

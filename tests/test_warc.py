@@ -119,3 +119,32 @@ def test_http_transfer_and_content_codings(tmp_path):
 
     # _dechunk handles chunk extensions and ignores trailers
     assert _dechunk(b"5;ext=1\r\nhello\r\n0\r\nTrailer: x\r\n\r\n") == b"hello"
+
+
+def test_stacked_transfer_codings_skip():
+    """'Transfer-Encoding: gzip, chunked' cannot be fully undone here —
+    the record must SKIP, never pass transfer-gzipped bytes through."""
+    import gzip as _gzip
+
+    from docvision_spark.pipeline.warc import parse_warc_bytes
+
+    html = b"<html><body>" + b"w " * 200 + b"</body></html>"
+    gz = _gzip.compress(html)
+    chunked = b"%x\r\n" % len(gz) + gz + b"\r\n0\r\n\r\n"
+    body = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: gzip, chunked\r\n\r\n"
+            + chunked)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: http://h.example.com/x\r\n"
+           b"WARC-Date: 2025-05-04T00:00:00Z\r\n"
+           + b"Content-Length: %d\r\n\r\n" % len(body) + body + b"\r\n\r\n")
+    assert parse_warc_bytes(rec) == []
+    # plain chunked (with an ignorable 'identity') still decodes
+    chunked2 = b"%x\r\n" % len(html) + html + b"\r\n0\r\n\r\n"
+    body2 = (b"HTTP/1.1 200 OK\r\n"
+             b"Transfer-Encoding: identity, chunked\r\n\r\n" + chunked2)
+    rec2 = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+            b"WARC-Target-URI: http://h.example.com/y\r\n"
+            b"WARC-Date: 2025-05-04T00:00:00Z\r\n"
+            + b"Content-Length: %d\r\n\r\n" % len(body2) + body2
+            + b"\r\n\r\n")
+    assert [bytes(p["html"]) for p in parse_warc_bytes(rec2)] == [html]
