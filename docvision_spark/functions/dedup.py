@@ -428,10 +428,25 @@ def banded_hamming_pairs(
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, ["band", "bkey"]).filter(F.col("a.id") < F.col("b.id"))
-         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+         .select("band", F.col("a.id").alias("id_a"),
+                 F.col("b.id").alias("id_b"),
                  F.col("a.sig").alias("s_a"), F.col("b.sig").alias("s_b"))
-         .dropDuplicates(["id_a", "id_b"])
     )
+    # dedup candidates WITHOUT a shuffle: a pair colliding in k bands is
+    # emitted k times by the join; keep only the copy from the FIRST
+    # matching band (= index of the lowest zero xor-band, computable from
+    # the two signatures already on the row). The previous
+    # dropDuplicates([id_a, id_b]) shuffled every candidate row — at 8x8
+    # banding over clustered signatures that was 70M+ rows through an
+    # exchange (measured: m02 at sf1.0) for a result this filter gets for
+    # free inside the join stage (guide §2.4: remove shuffles outright).
+    x = F.col("s_a").bitwiseXOR(F.col("s_b"))
+    first_band = F.coalesce(*[
+        F.when(F.shiftright(x, width * j).bitwiseAND(F.lit(mask)) == 0,
+               F.lit(j))
+        for j in range(n_bands)
+    ])
+    cand = cand.filter(F.col("band") == first_band).drop("band")
     ham = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).cast("int")
     return (cand.withColumn("hamming", ham)
                 .filter(F.col("hamming") <= max_hamming)

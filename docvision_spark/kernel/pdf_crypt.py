@@ -322,6 +322,32 @@ def _build_ttables():
 
 
 _TE0, _TE1, _TE2, _TE3 = _build_ttables()
+_SBOX_L = _SBOX.tolist()   # plain-list sbox: numpy scalar indexing costs
+#                            ~100ns+int() per lookup — 16x/block adds up
+
+
+def _expand_key_words(key: bytes) -> tuple[list[int], int]:
+    """Key schedule directly as 32-bit big-endian words (no numpy round
+    trip): returns (4*(nr+1) words, nr). Same FIPS-197 §5.2 schedule as
+    _expand_key (parity-pinned by the FIPS vectors via aes_encrypt_block)."""
+    nk = len(key) // 4
+    if nk not in (4, 6, 8) or len(key) % 4:
+        raise ValueError("aes: key must be 16, 24 or 32 bytes")
+    nr = nk + 6
+    sb = _SBOX_L
+    w = list(struct.unpack(">%dI" % nk, key))
+    for i in range(nk, 4 * (nr + 1)):
+        t = w[i - 1]
+        if i % nk == 0:
+            t = ((t << 8) | (t >> 24)) & 0xFFFFFFFF          # RotWord
+            t = (sb[t >> 24] << 24 | sb[(t >> 16) & 0xFF] << 16
+                 | sb[(t >> 8) & 0xFF] << 8 | sb[t & 0xFF])  # SubWord
+            t ^= _RCON[i // nk - 1] << 24
+        elif nk > 6 and i % nk == 4:
+            t = (sb[t >> 24] << 24 | sb[(t >> 16) & 0xFF] << 16
+                 | sb[(t >> 8) & 0xFF] << 8 | sb[t & 0xFF])
+        w.append(w[i - nk] ^ t)
+    return w, nr
 
 
 def _rk_words(rk: np.ndarray) -> list[int]:
@@ -330,12 +356,17 @@ def _rk_words(rk: np.ndarray) -> list[int]:
             for i in range(0, flat.shape[0], 4)]
 
 
-def _enc_block_fast(w: list[int], nr: int, inp: bytes) -> bytes:
-    te0, te1, te2, te3, sbox = _TE0, _TE1, _TE2, _TE3, _SBOX
-    s0 = int.from_bytes(inp[0:4], "big") ^ w[0]
-    s1 = int.from_bytes(inp[4:8], "big") ^ w[1]
-    s2 = int.from_bytes(inp[8:12], "big") ^ w[2]
-    s3 = int.from_bytes(inp[12:16], "big") ^ w[3]
+def _enc_block_words(w: list[int], nr: int,
+                     s0: int, s1: int, s2: int, s3: int
+                     ) -> tuple[int, int, int, int]:
+    """One AES block in word space (4x 32-bit ints in, 4 out). The caller
+    does the AddRoundKey-0 XOR as part of its CBC chaining — inputs here
+    are already plaintext^prev; this applies w[0..3] itself."""
+    te0, te1, te2, te3, sb = _TE0, _TE1, _TE2, _TE3, _SBOX_L
+    s0 ^= w[0]
+    s1 ^= w[1]
+    s2 ^= w[2]
+    s3 ^= w[3]
     k = 4
     for _ in range(nr - 1):
         t0 = (te0[s0 >> 24] ^ te1[(s1 >> 16) & 0xFF]
@@ -348,34 +379,47 @@ def _enc_block_fast(w: list[int], nr: int, inp: bytes) -> bytes:
               ^ te2[(s1 >> 8) & 0xFF] ^ te3[s2 & 0xFF] ^ w[k + 3])
         s0, s1, s2, s3 = t0, t1, t2, t3
         k += 4
-    out = bytearray(16)
-    for i, (a, b, c, d) in enumerate(
-            ((s0, s1, s2, s3), (s1, s2, s3, s0),
-             (s2, s3, s0, s1), (s3, s0, s1, s2))):
-        rkw = w[k + i]
-        out[4 * i] = int(sbox[a >> 24]) ^ (rkw >> 24) & 0xFF
-        out[4 * i + 1] = int(sbox[(b >> 16) & 0xFF]) ^ (rkw >> 16) & 0xFF
-        out[4 * i + 2] = int(sbox[(c >> 8) & 0xFF]) ^ (rkw >> 8) & 0xFF
-        out[4 * i + 3] = int(sbox[d & 0xFF]) ^ rkw & 0xFF
-    return bytes(out)
+    return (
+        (sb[s0 >> 24] << 24 | sb[(s1 >> 16) & 0xFF] << 16
+         | sb[(s2 >> 8) & 0xFF] << 8 | sb[s3 & 0xFF]) ^ w[k],
+        (sb[s1 >> 24] << 24 | sb[(s2 >> 16) & 0xFF] << 16
+         | sb[(s3 >> 8) & 0xFF] << 8 | sb[s0 & 0xFF]) ^ w[k + 1],
+        (sb[s2 >> 24] << 24 | sb[(s3 >> 16) & 0xFF] << 16
+         | sb[(s0 >> 8) & 0xFF] << 8 | sb[s1 & 0xFF]) ^ w[k + 2],
+        (sb[s3 >> 24] << 24 | sb[(s0 >> 16) & 0xFF] << 16
+         | sb[(s1 >> 8) & 0xFF] << 8 | sb[s2 & 0xFF]) ^ w[k + 3],
+    )
+
+
+def _enc_block_fast(w: list[int], nr: int, inp: bytes) -> bytes:
+    """bytes-in/bytes-out single-block encrypt (kept for callers/tests;
+    the CBC hot loop below stays in word space and skips this wrapper)."""
+    s0, s1, s2, s3 = _enc_block_words(w, nr, *struct.unpack(">4I", inp))
+    return struct.pack(">4I", s0, s1, s2, s3)
 
 
 def _cbc_nopad(key: bytes, iv: bytes, data: bytes, decrypt: bool) -> bytes:
     if len(data) % 16:
         raise ValueError("aes-cbc-nopad: data not block-aligned")
-    rk = _expand_key(key)
     if decrypt:
+        rk = _expand_key(key)
         arr = np.frombuffer(iv + data, dtype=np.uint8).reshape(-1, 16)
         return (_decrypt_blocks(arr[1:], rk) ^ arr[:-1]).tobytes()
-    w = _rk_words(rk)
-    nr = rk.shape[0] - 1
-    prev = iv
-    out = bytearray()
-    for i in range(0, len(data), 16):
-        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _enc_block_fast(w, nr, blk)
-        out += prev
-    return bytes(out)
+    # encrypt: sequential by nature (the R6 KDF chains thousands of these);
+    # everything stays in 32-bit word space — no per-block bytes/numpy
+    # round trips (measured ~3x over the bytes-based loop)
+    w, nr = _expand_key_words(key)
+    nwords = len(data) // 4
+    pw = struct.unpack(">%dI" % nwords, data)
+    p0, p1, p2, p3 = struct.unpack(">4I", iv)
+    out = []
+    ext = out.extend
+    enc = _enc_block_words
+    for i in range(0, nwords, 4):
+        p0, p1, p2, p3 = enc(w, nr, pw[i] ^ p0, pw[i + 1] ^ p1,
+                             pw[i + 2] ^ p2, pw[i + 3] ^ p3)
+        ext((p0, p1, p2, p3))
+    return struct.pack(">%dI" % nwords, *out)
 
 
 def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
