@@ -57,9 +57,15 @@ def _threshold_ratio(threshold: float) -> tuple[int, int]:
 # ----------------------------------------------------------------- exact --
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Keep the smallest id per exact (normalized) content fingerprint."""
+    """Keep the smallest id per exact (normalized) content fingerprint.
+
+    The fingerprint (3 regex passes + md5 over the full text) is computed
+    in the map-side partial-agg stage — parallelize an under-split scan
+    first or that entire pass runs on as few cores as the file has row
+    groups (no-op on a properly-partitioned table)."""
     return (
-        df.withColumn("fp", fingerprint_md5(F.col(text_col)))
+        parallelize_input(df.select(id_col, text_col))
+          .withColumn("fp", fingerprint_md5(F.col(text_col)))
           .groupBy("fp")
           .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
     )
@@ -215,7 +221,7 @@ def minhash_lsh_pairs(
     # never evaluated on both sides of a self-join. localCheckpoint spills
     # to executor-local storage — at 100 TB this is one shuffle-spill-sized
     # write, strictly cheaper than 3x recompute of the shingling pass.
-    shingled = parallelize_input(df).select(
+    shingled = parallelize_input(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         mk(F.col(text_col), shingle_k).alias("sh"),
     ).localCheckpoint()
@@ -383,7 +389,8 @@ def simhash_pairs(
     -> candidate; verify Hamming distance <= max_hamming). Recall is
     pigeonhole-complete only while max_hamming < 4; larger radii are
     probabilistic, like all SimHash deployments."""
-    sig = simhash_signatures_expr(parallelize_input(df), id_col, text_col)
+    sig = simhash_signatures_expr(
+        parallelize_input(df.select(id_col, text_col)), id_col, text_col)
     return banded_hamming_pairs(sig, "id", "sh", n_bands=4,
                                 max_hamming=max_hamming)
 
@@ -609,7 +616,8 @@ def fingerprint_table(df: DataFrame, id_col: str = "doc_id",
     joinable dedup key: letting it through would collapse every NULL-text
     row into one survivor). Persist this bucketed BY fp so increment
     anti-joins are co-partitioned sort-merge with zero history shuffle."""
-    return (df.filter(F.col(text_col).isNotNull())
+    return (parallelize_input(df.filter(F.col(text_col).isNotNull())
+                                .select(id_col, text_col))
               .select(fingerprint_md5(F.col(text_col)).alias("fp"),
                       F.col(id_col).alias("id")))
 
@@ -636,10 +644,15 @@ def incremental_exact_dedup(new_df: DataFrame, history_fps: DataFrame,
     """
     key = F.col(fp_col) if fp_col else F.col(text_col)
     nulls = new_df.filter(key.isNull())
-    fps = (new_df.filter(key.isNotNull())
-                 .select(F.col(id_col).alias("_id"),
-                         (F.col(fp_col) if fp_col
-                          else fingerprint_md5(F.col(text_col))).alias("fp")))
+    # fp computation parallelized like fingerprint_table; when fp_col is
+    # given the select is projection-only and the repartition is skipped
+    # (nothing heavy runs map-side there)
+    fp_src = new_df.filter(key.isNotNull())
+    if not fp_col:
+        fp_src = parallelize_input(fp_src.select(id_col, text_col))
+    fps = fp_src.select(F.col(id_col).alias("_id"),
+                        (F.col(fp_col) if fp_col
+                         else fingerprint_md5(F.col(text_col))).alias("fp"))
     batch_winner = fps.groupBy("fp").agg(F.min("_id").alias("_id"))
     survivor_ids = (batch_winner
                     .join(history_fps.select("fp"), "fp", "left_anti")
@@ -664,7 +677,7 @@ def minhash_artifacts(df: DataFrame, id_col: str = "doc_id",
     signature slice."""
     r = num_hashes // bands
     mk = char_shingles if shingle_mode == "char" else word_shingle_hashes
-    shingled = parallelize_input(df).select(
+    shingled = parallelize_input(df.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         mk(F.col(text_col), shingle_k).alias("sh"),
     ).localCheckpoint()

@@ -56,9 +56,14 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine vs a literal query vector. Deterministic order:
     score desc, id asc."""
+    from docvision_spark.functions.dedup import parallelize_input
+
     q = F.array(*[F.lit(float(v)).cast("double") for v in query_vec])
     v = F.col(vec_col).cast("array<double>")
-    scored = emb.select(
+    # the embeddings table often scans as ONE split (single file, single
+    # row group) — the cosine fold is interpreted HOF work, so parallelize
+    # before scoring (no-op on a properly-partitioned table)
+    scored = parallelize_input(emb.select(id_col, vec_col)).select(
         F.col(id_col),
         cosine(v, q).alias("score"),
     )
@@ -348,9 +353,14 @@ def knn_join_sample(
     """Exact kNN for the first n_queries ids (deterministic sample): broadcast
     the small query side against the full table — the broadcast-join shape
     that survives a 1000-executor scale-up."""
+    from docvision_spark.functions.dedup import parallelize_input
+
     queries = emb.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).cast("array<double>").alias("q_vec"))
-    base = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    # n_queries * n cosine folds run where the base scan runs — a single-
+    # split table would serialize the whole kNN on one core
+    base = parallelize_input(emb.select(id_col, vec_col)).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     from pyspark.sql.window import Window
     scored = (
         base.crossJoin(F.broadcast(queries))

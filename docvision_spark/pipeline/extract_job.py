@@ -170,12 +170,25 @@ def extract_pages(pages: DataFrame, partitions: int | None = None) -> DataFrame:
     spark = pages.sparkSession
     ensure_py_files(spark)
     if partitions is None:
-        # 2x total cores: measured sweet spot for the Arrow-batched python
-        # stage — enough slack to level stragglers (giant docs, hot-host salt
-        # keys), but each task still amortizes its worker handoff over many
-        # Arrow batches (8x cores measured 3x slower from handoff overhead).
-        # The same ratio holds on a multi-executor cluster.
+        # 2x total cores: enough slack to level stragglers (giant docs,
+        # hot-host salt keys) while each task still amortizes its worker
+        # handoff over many Arrow batches.
         partitions = 2 * spark.sparkContext.defaultParallelism
+    # Map-only fast path (guide §2.4/§8): when the SCAN already yields
+    # enough splits (row-grouped corpus + small maxPartitionBytes), the
+    # payload column never needs to cross an exchange at all — scan and
+    # kernel fuse into one pipelined stage with no barrier, and input
+    # splits are byte-balanced by construction so the host-skew salt is
+    # moot (skew exists only when partitioning BY host). The salted
+    # repartition remains the fallback for under-split inputs (single
+    # giant files, post-limit plans) where an exchange is the only way to
+    # reach the cluster's parallelism.
+    n_scan = pages.rdd.getNumPartitions()
+    if n_scan >= max(partitions // 2,
+                     spark.sparkContext.defaultParallelism):
+        prepared = pages.sortWithinPartitions(
+            F.octet_length("html").desc())
+        return prepared.mapInPandas(_extract_batches, schema=OUTPUT_SCHEMA)
     prepared = (
         pages
         # skew: spread the hot host across N_SALT partitions while keeping

@@ -37,7 +37,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records_per_batch))
-        .config("spark.sql.files.maxPartitionBytes", "64m")
+        # small splits so the pages scan parallelizes to the core count
+        # WITHOUT a payload repartition (extract_job skips its salt
+        # exchange when the scan is already parallel enough). 4m is sized
+        # to the row-grouped corpus layout; on a petabyte table with
+        # thousands of splits the same setting simply yields more of them
+        # (scan tasks stay cheap — parquet open cost is per file, and the
+        # kernel cost per split dwarfs scheduling overhead at any scale).
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         # 32 executor threads stream multi-MB Arrow/binary batches: with
         # G1's default region size those are "humongous" allocations, and
@@ -52,11 +60,17 @@ def get_spark(
         .config("spark.driver.extraJavaOptions",
                 "-XX:+UseG1GC -XX:G1HeapRegionSize=32m")
         .config("spark.python.worker.reuse", "true")
-        # python-heavy engine: at high core counts, running a python worker
-        # on EVERY slot starves the JVM Arrow-feed threads (measured 25%
-        # faster with task.cpus=2 at local[32]). On a real cluster the same
-        # headroom comes from provisioning executor cores below physical.
-        .config("spark.task.cpus", "2" if cores >= 16 else "1")
+        # spark.task.cpus: round-4 measured the python-heavy extract stage
+        # 25% faster with task.cpus=2 at local[32] (python worker per slot
+        # starved the JVM Arrow-feed threads) — but that predates the UDS
+        # transport below, which removed the feed bottleneck. Re-measured
+        # in round 6: task.cpus=1 is now faster for extraction AND gives
+        # every JVM-side query its full 32 slots (the =2 setting halved
+        # parallelism for the whole relational/dedup surface). Kept as an
+        # env knob so a cluster with a different python/JVM core ratio can
+        # restore the headroom without a code change.
+        .config("spark.task.cpus",
+                os.environ.get("SPARK_GRAFT_TASK_CPUS", "1"))
         # JVM<->python-worker transport over unix domain sockets (Spark 4):
         # the TCP-loopback default suffers Nagle/delayed-ACK stalls that cap
         # Arrow feed at ~20 MB/s; UDS measured 20x faster on binary columns

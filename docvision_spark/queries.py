@@ -30,6 +30,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+
+def load_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load() + repartition when the scan is under-split (single-row-group
+    test files scan as ONE task; every heavy per-row projection — regex
+    tokenization, md5, chunking HOFs — would otherwise run on one core in
+    the map stage). No-op on a properly-partitioned table; used only by
+    queries whose per-row compute dwarfs one narrow-table shuffle."""
+    from docvision_spark.functions.dedup import parallelize_input
+
+    return parallelize_input(load(spark, sf_dir, name))
+
 def pages_for(sf_dir: str) -> str:
     from docvision_spark.corpus import ensure_corpus
 
@@ -257,7 +268,7 @@ def q09_props_json(spark: SparkSession, sf: str) -> DataFrame:
 
 def t06_langid_accuracy(spark: SparkSession, sf: str) -> DataFrame:
     """Lang-ID quality readout: predictions vs the table's lang labels."""
-    d = load(spark, sf, "documents")
+    d = load_par(spark, sf, "documents")
     pred = text.with_lang_id(d)
     return (
         pred.groupBy("lang")
@@ -390,7 +401,7 @@ def t13_lm_quality(spark: SparkSession, sf: str) -> DataFrame:
     order-independent, unlike float log-prob sums, which is what lets
     the rerun hash-match the materialized twin. Real pipelines bucket
     docs on exactly this number (head/middle/tail quality tiers)."""
-    d = load(spark, sf, "documents")
+    d = load_par(spark, sf, "documents")
     lm = text.train_bigram_lm(d, "text", top_k=50000)
     return _twin(spark, sf, "t13_lm_quality",
                  text.lm_score(d, lm, "text").select(
@@ -460,7 +471,7 @@ def c02_contamination(spark: SparkSession, sf: str) -> DataFrame:
     normalized chars of 5 fixed docs) are broadcast against every document;
     a doc containing any probe is flagged. The 100 TB shape: tiny probe set
     broadcast, corpus scanned once, no shuffle of the corpus."""
-    d = load(spark, sf, "documents")
+    d = load_par(spark, sf, "documents")
     norm = text.normalized(F.col("text"))
     probes = (d.filter(F.col("doc_id") < 5)
                 .select(F.col("doc_id").alias("probe_id"),
@@ -478,7 +489,7 @@ def c01_chunks(spark: SparkSession, sf: str) -> DataFrame:
     """Training-chunk fan-out: fixed 128-token windows per doc, one row per
     (doc, chunk_no) in document order; emits each chunk's char length (the
     value compare stays light while still pinning exact chunk boundaries)."""
-    d = load(spark, sf, "documents")
+    d = load_par(spark, sf, "documents")
     return text.explode_chunks(d, "text", "doc_id", 128).select(
         "doc_id", "chunk_no", F.length("chunk").alias("n_chars"))
 
@@ -512,7 +523,7 @@ def q12_token_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     below — `approx_percentile` (a bounded-memory t-digest-style sketch,
     mergeable map-side) with accuracy 10_000; tests assert it stays within
     1% of the exact result on the test corpus."""
-    d = load(spark, sf, "documents")
+    d = load_par(spark, sf, "documents")
     n = text.token_count(F.col("text"))
     return (d.select("lang", n.alias("n_tokens"))
              .groupBy("lang")
@@ -528,7 +539,7 @@ def q12_token_quantiles_approx(spark: SparkSession, sf: str) -> DataFrame:
     memory) instead of buffering all values. Not oracled — DuckDB has no
     bit-identical twin of Spark's sketch; correctness is the tolerance
     pytest against the exact variant."""
-    d = load(spark, sf, "documents")
+    d = load_par(spark, sf, "documents")
     n = text.token_count(F.col("text"))
     return (d.select("lang", n.alias("n_tokens"))
              .groupBy("lang")
@@ -548,7 +559,7 @@ def t12_keywords_top3(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: two shuffles (doc-term agg, df agg) + a term-key
     co-partitioned join; top-k is a per-doc window, never a global sort."""
-    d = load(spark, sf, "documents")
+    d = load_par(spark, sf, "documents")
     toks = d.select("doc_id", F.explode(text.tokens(F.lower(F.col("text")))).alias("term")) \
             .filter(F.length("term") >= 3)
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))

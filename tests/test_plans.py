@@ -80,14 +80,31 @@ def test_partial_aggregation_present(spark):
 
 @pytest.mark.spark
 def test_extraction_stage_shape(spark, pages_dir):
-    """Exactly one exchange (the salt repartition) feeds the python stage;
-    extraction itself must be a single MapInPandas, no extra shuffles."""
+    """The kernel stage is a single MapInPandas. When the scan already has
+    enough splits (row-grouped corpus), scan and kernel FUSE into one
+    map-only stage with ZERO exchanges — the payload column never crosses
+    a shuffle (round-6: removing the salt exchange measured faster and
+    drops the stage barrier). When the input is under-split, the salted
+    repartition fallback contributes exactly one exchange."""
     from docvision_spark.pipeline.extract_job import extract_pages, read_pages
 
-    plan = plan_of(extract_pages(read_pages(spark, pages_dir)))
+    pages = read_pages(spark, pages_dir)
+    n_scan = pages.rdd.getNumPartitions()
+    dp = spark.sparkContext.defaultParallelism
+
+    # map-only path: ask for a partition count the scan already satisfies
+    plan = plan_of(extract_pages(pages, partitions=max(1, n_scan // 2)))
     body = plan.split("== Physical Plan ==", 1)[1].split("\n\n")[0]
     assert body.count("MapInPandas") == 1
-    assert body.count("Exchange") == 1, f"expected exactly 1 exchange:\n{body}"
+    assert body.count("Exchange") == 0, f"expected map-only plan:\n{body}"
+
+    # salted fallback: ask for far more parallelism than the scan has
+    plan2 = plan_of(extract_pages(pages, partitions=8 * max(n_scan, dp)))
+    body2 = plan2.split("== Physical Plan ==", 1)[1].split("\n\n")[0]
+    assert body2.count("MapInPandas") == 1
+    assert body2.count("Exchange") == 1, f"expected 1 exchange:\n{body2}"
+    # the exchange keys on (host, salt) — details section of the plan
+    assert "hashpartitioning(host" in plan2, plan2
 
 
 @pytest.mark.spark
