@@ -19,12 +19,11 @@ from dataclasses import dataclass, field
 
 from docvision_spark.kernel.entities import decode_entities
 from docvision_spark.kernel.html_tokenizer import (
-    END,
-    START,
-    TEXT,
+    _MASTER_RE,
+    _RAWTEXT_CLOSE,
+    RAWTEXT_ELEMENTS,
     VOID_ELEMENTS,
     parse_attrs,
-    scan,
 )
 
 # Tags that terminate the current text block when opened or closed.
@@ -83,10 +82,10 @@ class Block:
     ordered: bool = False         # for list items: inside <ol>
 
 
-@dataclass
-class _Open:
-    name: str
-    signal: int  # -1 / 0 / +1 resolved at open time
+# An open element on the stack is a plain (name, signal) tuple — this is
+# the hottest allocation in the kernel (one per start tag); a dataclass
+# here measurably slows the 100 TB path (attribute access + __init__).
+# signal: -1 / 0 / +1 resolved at open time.
 
 
 # out-link capture: one cheap regex per <a ... href=...>; hrefs stay RAW
@@ -106,7 +105,7 @@ MAX_LINKS = 2048  # per-document out-link cap (scale guard, like MAX_DOC_BYTES)
 class _Builder:
     def __init__(self) -> None:
         self.blocks: list[Block] = []
-        self.stack: list[_Open] = []
+        self.stack: list[tuple[str, int]] = []
         self.buf: list[str] = []
         self.buf_anchor = 0
         self.anchor_depth = 0
@@ -142,7 +141,7 @@ class _Builder:
                     return -1
                 if _POS_PAT.search(idcls):
                     return 1
-        return self.stack[-1].signal if self.stack else 0
+        return self.stack[-1][1] if self.stack else 0
 
     # -- text buffering ----------------------------------------------------
     def _append_text(self, raw: str) -> None:
@@ -187,7 +186,7 @@ class _Builder:
         self.buf_anchor = 0
         if not text.strip():
             return
-        sig = self.stack[-1].signal if self.stack else 0
+        sig = self.stack[-1][1] if self.stack else 0
         if self.pre_depth:
             kind, level = "pre", 0
         elif self.heading:
@@ -217,7 +216,7 @@ class _Builder:
                             and href not in self._links_seen:
                         self._links_seen.add(href)
                         self.links.append(href)
-            self.stack.append(_Open(name, self._resolve_signal(name, attrs_raw)))
+            self.stack.append((name, self._resolve_signal(name, attrs_raw)))
             return
         if name == "br":
             self._append_text(" ")
@@ -226,7 +225,7 @@ class _Builder:
             attrs = parse_attrs(attrs_raw)
             alt = " ".join(decode_entities(attrs.get("alt", "")).split())
             self._flush()
-            sig = self.stack[-1].signal if self.stack else 0
+            sig = self.stack[-1][1] if self.stack else 0
             self.blocks.append(Block(kind="figure", text=alt, chars=len(alt),
                                      words=len(alt.split()), signal=sig))
             return
@@ -252,22 +251,22 @@ class _Builder:
         closers = _SELF_CLOSERS.get(name)
         if closers:
             for i in range(len(self.stack) - 1, -1, -1):
-                nm = self.stack[i].name
+                nm = self.stack[i][0]
                 if nm in closers:
                     self._close_to(i)
                     break
                 if nm in ("table", "ul", "ol", "dl", "div", "section", "article", "body"):
                     break
         elif name in _P_CLOSERS:
-            if self.stack and self.stack[-1].name == "p":
+            if self.stack and self.stack[-1][0] == "p":
                 self._close_to(len(self.stack) - 1)
 
-        if name in BLOCK_TAGS:
+        if name in BLOCK_TAGS and self.buf:
             self._flush()
         sig = self._resolve_signal(name, attrs_raw)
         if self_closing:
             return
-        self.stack.append(_Open(name, sig))
+        self.stack.append((name, sig))
         self._enter_effects(name, sig)
 
     def _enter_effects(self, name: str, sig: int) -> None:
@@ -336,40 +335,67 @@ class _Builder:
     def _close_to(self, idx: int) -> None:
         """Pop stack down to and including idx, flushing block boundaries."""
         while len(self.stack) > idx:
-            top = self.stack[-1]
-            if top.name != "a" and top.name in BLOCK_TAGS:
+            top = self.stack[-1][0]
+            if top != "a" and self.buf and top in BLOCK_TAGS:
                 self._flush()  # before pop: block text carries its own signal
             self.stack.pop()
-            if top.name == "a":
+            if top == "a":
                 self.anchor_depth = max(0, self.anchor_depth - 1)
             else:
-                self._exit_effects(top.name)
+                self._exit_effects(top)
 
     def _close(self, name: str) -> None:
         if name == "a":
             for i in range(len(self.stack) - 1, -1, -1):
-                if self.stack[i].name == "a":
+                if self.stack[i][0] == "a":
                     self.stack.pop(i)
                     self.anchor_depth = max(0, self.anchor_depth - 1)
                     return
             return
         for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i].name == name:
+            if self.stack[i][0] == name:
                 self._close_to(i)
                 return
         # unmatched end tag: ignored (fixed error-recovery rule)
 
     def run(self, html: str) -> list[Block]:
+        # The tokenizer loop is INLINED here (token-for-token identical to
+        # html_tokenizer.scan, which remains the reference/tests API): the
+        # generator suspend/resume + 4-tuple pack/unpack per token was the
+        # single largest per-token overhead in the kernel profile, and this
+        # loop runs once per token of every document at 100 TB.
         append_text = self._append_text
         open_ = self._open
         close = self._close
-        for kind, data, attrs, self_closing in scan(html):
-            if kind == TEXT:
-                append_text(data)
-            elif kind == START:
-                open_(data, attrs, self_closing)
-            else:
-                close(data)
+        pos = 0
+        n = len(html)
+        search = _MASTER_RE.search
+        rawtext_close = _RAWTEXT_CLOSE
+        while pos < n:
+            m = search(html, pos)
+            if m is None:
+                append_text(html[pos:])
+                break
+            start = m.start()
+            if start > pos:
+                append_text(html[pos:start])
+            pos = m.end()
+            grp = m.lastgroup
+            if grp == "attrs" or grp == "start":
+                name = m.group("start").lower()
+                attrs = m.group("attrs") or ""
+                self_closing = attrs.rstrip().endswith("/")
+                open_(name, attrs, self_closing)
+                if not self_closing and name in RAWTEXT_ELEMENTS:
+                    cm = rawtext_close[name].search(html, pos)
+                    if cm is None:
+                        close(name)
+                        break
+                    pos = cm.end()  # rawtext content dropped
+                    close(name)
+            elif grp == "end":
+                close(m.group("end").lower())
+            # comment / doctype / pi: dropped
         self._close_to(0)
         self._flush()
         return self.blocks

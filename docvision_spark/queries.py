@@ -129,16 +129,25 @@ def q01_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q02_top_customers(spark: SparkSession, sf: str) -> DataFrame:
-    """Join + agg + deterministic top-N. customer is small -> broadcast."""
+    """Join + agg + deterministic top-N. customer is small -> broadcast.
+
+    Aggregate-BEFORE-join (guide §2.3: aggregate before you shuffle):
+    orders collapses to one row per custkey first, so the join touches
+    n_customers rows instead of n_orders and the per-row join work drops
+    out of the fact-table pass entirely. Equivalent to join-then-group
+    because c_custkey is a key of customer (unique — inner join can
+    neither drop a group nor split one) and every o_custkey has a match;
+    verified row-identical against the join-first plan and the oracle."""
     c = load(spark, sf, "customer")
     o = load(spark, sf, "orders")
+    agg = (o.groupBy("o_custkey")
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+                 F.count("*").alias("n_orders")))
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-         .groupBy("c_custkey", "c_name")
-         .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
-              F.count("*").alias("n_orders"))
-         .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
-         .limit(10)
+        agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+           .select("c_custkey", "c_name", "total_spent", "n_orders")
+           .orderBy(F.col("total_spent").desc(), F.col("c_custkey").asc())
+           .limit(10)
     )
 
 

@@ -91,11 +91,24 @@ def test_expression_signature_variants(spark, docs):
     assert agg[1] == got[1]["sh"]                  # agg == expression variant
 
     # the zero-shuffle single-pass variant must be bit-exact with BOTH, on
-    # every doc (it is what simhash_pairs runs in production)
+    # every doc (it is what simhash_pairs ran through round 5)
     from docvision_spark.functions.dedup import simhash_signatures_expr
     expr_sigs = {r["id"]: r["sh"] for r in
                  simhash_signatures_expr(docs).collect()}
     assert expr_sigs == agg
+
+    # the numpy-vectorized variant (round-6: what simhash_pairs runs now —
+    # JVM tokens/hashes, batch bit-count in numpy) must be bit-exact too,
+    # including NULL-text and empty-text rows
+    from docvision_spark.functions.dedup import simhash_signatures_np
+    edge = docs.unionByName(spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "  ")],
+        "doc_id long, text string"), allowMissingColumns=True)
+    np_sigs = {r["id"]: r["sh"] for r in
+               simhash_signatures_np(edge).collect()}
+    expr_edge = {r["id"]: r["sh"] for r in
+                 simhash_signatures_expr(edge).collect()}
+    assert np_sigs == expr_edge
 
 
 @pytest.mark.spark
