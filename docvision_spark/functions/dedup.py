@@ -525,6 +525,79 @@ def banded_hamming_pairs(
                 .select("id_a", "id_b", "hamming"))
 
 
+def banded_hamming_pairs_multiprobe(
+    sig: DataFrame, id_col: str, sig_col: str,
+    n_bands: int = 4, max_hamming: int = 6,
+) -> DataFrame:
+    """Near-dup pairs by multi-index Hamming probing (the public
+    multi-index hashing scheme: index each signature under its exact band
+    keys; the PROBE side additionally enumerates every 1-bit flip of each
+    band key, so a pair collides whenever some band differs by <= 1 bit).
+
+    If every band differed by >= 2 bits the total distance would be
+    >= 2 * n_bands, so recall is COMPLETE whenever
+    max_hamming < 2 * n_bands: 4x16-bit bands cover hamming <= 7 where
+    the exact-match scheme needs 8x8-bit bands — whose 256-value key
+    space collapses into hot buckets at corpus scale (measured on m02 at
+    sf1.0: 72M candidate rows from 37k images; wide bands + radius-1
+    probes cut that ~20x for the same guaranteed recall). Exact
+    bit_count verify on candidates only; candidate dedup is the
+    first-qualifying-band filter (popcount of the xor band <= 1), which
+    keeps exactly one copy per pair with NO shuffle — the probe explode
+    emits one matching copy per qualifying band, and the a.id < b.id
+    filter removes the mirrored direction.
+    Returns (id_a, id_b, hamming:int), id_a < id_b.
+    """
+    if 64 % n_bands != 0:
+        raise ValueError("n_bands must divide 64")
+    if max_hamming >= 2 * n_bands:
+        raise ValueError("multiprobe recall requires max_hamming < 2*n_bands")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    base = sig.select(F.col(id_col).alias("id"), F.col(sig_col).alias("sig")) \
+              .localCheckpoint() \
+              .filter(F.col("sig").isNotNull())
+
+    def bkey(i: int) -> Column:
+        return F.shiftright("sig", width * i).bitwiseAND(F.lit(mask))
+
+    index = base.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"), bkey(i).alias("bkey"))
+            for i in range(n_bands)
+        ])).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bkey")
+    flips = [0] + [1 << j for j in range(width)]
+    probes = base.select(
+        "id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     bkey(i).bitwiseXOR(F.lit(f)).alias("bkey"))
+            for i in range(n_bands) for f in flips
+        ])).alias("bb"),
+    ).select("id", "sig", "bb.band", "bb.bkey")
+    cand = (
+        probes.alias("a").join(index.alias("b"), ["band", "bkey"])
+              .filter(F.col("a.id") < F.col("b.id"))
+              .select("band", F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      F.col("a.sig").alias("s_a"),
+                      F.col("b.sig").alias("s_b"))
+    )
+    x = F.col("s_a").bitwiseXOR(F.col("s_b"))
+    first_qual = F.coalesce(*[
+        F.when(F.bit_count(F.shiftright(x, width * j)
+                            .bitwiseAND(F.lit(mask))) <= 1, F.lit(j))
+        for j in range(n_bands)
+    ])
+    cand = cand.filter(F.col("band") == first_qual).drop("band")
+    ham = F.bit_count(x).cast("int")
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
 # ------------------------------------------------------- inverted index ----
 
 def inverted_candidates(postings: DataFrame,

@@ -475,7 +475,8 @@ def image_dup_pairs(features: DataFrame, max_hamming: int = 6,
     Input: output of extract_media_features (needs media_id + dhash).
     Output: (id_a, id_b, hamming:int) with id_a < id_b.
     """
-    from docvision_spark.functions.dedup import banded_hamming_pairs
+    from docvision_spark.functions.dedup import (
+        banded_hamming_pairs, banded_hamming_pairs_multiprobe)
 
     if max_hamming >= n_bands:
         # the documented contract here is COMPLETE recall (the SQL oracle
@@ -484,6 +485,18 @@ def image_dup_pairs(features: DataFrame, max_hamming: int = 6,
             f"image_dup_pairs requires max_hamming < n_bands for complete "
             f"recall (got {max_hamming} >= {n_bands}); raise n_bands or use "
             f"banded_hamming_pairs directly for probabilistic recall")
+    if n_bands % 2 == 0:
+        # same guaranteed-recall radius with HALF the bands (twice the
+        # width) via radius-1 multiprobe: max_hamming < n_bands
+        # <= 2 * (n_bands/2). Perceptual hashes cluster hard, and narrow
+        # exact-match bands collapse into hot buckets as the corpus grows
+        # (8-bit keys have only 256 values) — the wide-band probe scheme
+        # keeps the candidate volume ~n^2/2^width instead of ~n^2/2^(w/2).
+        # Result set is identical: both schemes have complete recall at
+        # this radius and verify exactly.
+        return banded_hamming_pairs_multiprobe(
+            features, "media_id", "dhash",
+            n_bands=n_bands // 2, max_hamming=max_hamming)
     return banded_hamming_pairs(features, "media_id", "dhash",
                                 n_bands=n_bands, max_hamming=max_hamming)
 

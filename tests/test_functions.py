@@ -50,6 +50,43 @@ def test_minhash_finds_near_dups(docs):
 
 
 @pytest.mark.spark
+def test_banded_hamming_multiprobe_parity(spark):
+    """The wide-band radius-1 multiprobe scheme (round-6: what
+    image_dup_pairs runs) must return the EXACT pair set of the
+    exact-match banding and of a brute-force O(n^2) check, at a radius
+    both schemes guarantee complete recall for (6 < 8 = n_bands and
+    6 < 2*4). Signatures are crafted to exercise: equal sigs, 1-bit per
+    band, all-6-bits-in-one-band, 2+2+1+1 spread, just-over-threshold."""
+    from itertools import combinations
+
+    from docvision_spark.functions.dedup import (
+        banded_hamming_pairs, banded_hamming_pairs_multiprobe)
+
+    sigs = [
+        (1, 0x0123456789ABCDEF), (2, 0x0123456789ABCDEF),      # equal
+        (3, 0x0123456789ABCDEE),                               # 1 bit off
+        (4, 0x0123456789AB12EF),                               # 6 bits in one band
+        (5, 0x1123456799ABCDEC),                               # spread 2+2+1+1-ish
+        (6, -0x7FEDCBA987654321),                              # far away, negative
+        (7, None),                                             # null sig
+    ]
+    df = spark.createDataFrame(sigs, "media_id long, dhash long")
+    brute = set()
+    vals = {i: s for i, s in sigs if s is not None}
+    for a, b in combinations(sorted(vals), 2):
+        h = bin((vals[a] ^ vals[b]) & ((1 << 64) - 1)).count("1")
+        if h <= 6:
+            brute.add((a, b, h))
+    exact = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+             banded_hamming_pairs(df, "media_id", "dhash", 8, 6).collect()}
+    mp = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+          banded_hamming_pairs_multiprobe(
+              df, "media_id", "dhash", 4, 6).collect()}
+    assert exact == brute
+    assert mp == brute
+
+
+@pytest.mark.spark
 def test_simhash_finds_near_dups(docs):
     from docvision_spark.functions.dedup import simhash_pairs
 
