@@ -240,23 +240,30 @@ def minhash_lsh_pairs(
         ])).alias("bb"),
     ).select("id", "bb.band", "bb.bkey")
 
-    # cap pathological buckets (degenerate shingle sets) to bound the join
-    banded = (
-        banded.withColumn(
-            "rn",
-            F.row_number().over(Window.partitionBy("band", "bkey").orderBy("id")),
-        )
-        .filter(F.col("rn") <= max_bucket)
-        .drop("rn")
+    # Bucket members gathered per (band, bkey) in ONE partial-agg exchange;
+    # the hot-bucket cap is slice(array_sort(...), 1, max_bucket) — the
+    # same smallest-max_bucket-ids set the old row_number window kept —
+    # and candidate pairs expand IN-ROW from the sorted array (id_a < id_b
+    # by construction). vs the previous window-cap + self-join: one
+    # exchange instead of a window sort feeding a join, and no reliance on
+    # the planner broadcasting the banded side (which it cannot at corpus
+    # scale). Pair set verified identical (round-6). dropDuplicates here
+    # shuffles only candidate PAIRS, which 64-bit band keys keep small
+    # (real near-dups plus 2^-64 collisions — unlike 8-bit image bands).
+    grouped = (
+        banded.groupBy("band", "bkey")
+              .agg(F.slice(F.array_sort(F.collect_list("id")), 1, max_bucket)
+                    .alias("ids"))
+              .filter(F.size("ids") >= 2)
     )
-
-    a = banded.alias("a")
-    b = banded.alias("b")
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x as id_a, y as id_b))))")
     cand = (
-        a.join(b, ["band", "bkey"])
-         .filter(F.col("a.id") < F.col("b.id"))
-         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-         .dropDuplicates(["id_a", "id_b"])
+        grouped.select(F.explode(pair_expr).alias("p"))
+               .select("p.id_a", "p.id_b")
+               .dropDuplicates(["id_a", "id_b"])
     )
     # exact-Jaccard verification only on candidates: shingle sets joined in
     # here, never shuffled with the bands
